@@ -1,0 +1,107 @@
+"""Host-side image loading + VGG preprocessing.
+
+Equivalent of the reference ImagePreprocessor (models/preprocessors.py:10-53):
+load -> resize 224x224 -> RGB->BGR + ImageNet mean subtraction (the Keras
+``vgg16.preprocess_input`` 'caffe' convention). Augmentation (rotation/shift/
+shear/zoom/hflip) is provided as a numpy implementation gated by the same
+switch; it only affects training batches.
+
+The batched hot path (`preprocess_batch_paths`) optionally dispatches to the
+native C++ loader (lrp_imagecaptioning_tpu.data.loader_native) when built.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IMAGE_SIZE = (224, 224)
+# Keras 'caffe' mode BGR means (keras_applications/imagenet_utils.py)
+VGG_BGR_MEAN = np.array([103.939, 116.779, 123.68], dtype=np.float32)
+
+
+def load_img_array(img_path: str, target_size=IMAGE_SIZE) -> np.ndarray:
+    """PIL load + nearest-compatible resize to target, float32 RGB HWC."""
+    from PIL import Image
+
+    img = Image.open(img_path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    if img.size != (target_size[1], target_size[0]):
+        img = img.resize((target_size[1], target_size[0]), Image.NEAREST)
+    return np.asarray(img, dtype=np.float32)
+
+
+def vgg_preprocess(img_rgb: np.ndarray) -> np.ndarray:
+    """RGB float HWC (0..255) -> BGR mean-subtracted (vgg16.preprocess_input)."""
+    x = img_rgb[..., ::-1].astype(np.float32)  # RGB->BGR
+    return x - VGG_BGR_MEAN
+
+
+def vgg_deprocess(img_bgr: np.ndarray) -> np.ndarray:
+    """Inverse of vgg_preprocess: BGR mean-subtracted -> RGB 0..255."""
+    x = img_bgr + VGG_BGR_MEAN
+    return x[..., ::-1]
+
+
+class ImagePreprocessor:
+    """Mirrors reference ImagePreprocessor (preprocessors.py:10-53)."""
+
+    IMAGE_SIZE = IMAGE_SIZE
+
+    def __init__(self, encoder: str = "vgg16", image_augmentation: bool = False, seed: int = 0):
+        if encoder not in ("vgg16", "vgg19"):
+            raise NotImplementedError(f"encoder {encoder!r} not supported yet")
+        self.encoder = encoder
+        self._augment = image_augmentation
+        self._rng = np.random.default_rng(seed)
+
+    def preprocess_images(self, img_paths, random_transform: bool = False):
+        return [self._preprocess_one(p, random_transform) for p in img_paths]
+
+    def preprocess_batch(self, img_list) -> np.ndarray:
+        return np.asarray(img_list, dtype=np.float32)
+
+    def preprocess_batch_paths(self, img_paths, random_transform: bool = False) -> np.ndarray:
+        try:
+            from . import loader_native
+
+            if loader_native.available() and not (self._augment and random_transform):
+                return loader_native.load_batch_vgg(list(img_paths))
+        except Exception:
+            pass
+        return self.preprocess_batch(self.preprocess_images(img_paths, random_transform))
+
+    def _preprocess_one(self, img_path: str, random_transform: bool) -> np.ndarray:
+        arr = load_img_array(img_path)
+        if self._augment and random_transform:
+            arr = self._random_transform(arr)
+        return vgg_preprocess(arr)
+
+    # -- augmentation (reference params: rotation 40, shifts 0.2, shear 0.2,
+    #    zoom 0.2, hflip — preprocessors.py:18-25) -------------------------
+
+    def _random_transform(self, x: np.ndarray) -> np.ndarray:
+        from scipy.ndimage import affine_transform
+
+        h, w = x.shape[0], x.shape[1]
+        theta = np.deg2rad(self._rng.uniform(-40, 40))
+        tx = self._rng.uniform(-0.2, 0.2) * h
+        ty = self._rng.uniform(-0.2, 0.2) * w
+        shear = np.deg2rad(self._rng.uniform(-0.2, 0.2))
+        zx, zy = self._rng.uniform(0.8, 1.2, size=2)
+        flip = self._rng.random() < 0.5
+
+        rot = np.array([[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]])
+        shift = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]])
+        sh = np.array([[1, -np.sin(shear), 0], [0, np.cos(shear), 0], [0, 0, 1]])
+        zm = np.array([[zx, 0, 0], [0, zy, 0], [0, 0, 1]])
+        m = rot @ shift @ sh @ zm
+        # center the transform
+        off = np.array([h, w]) / 2.0 - 0.5
+        offset = off - m[:2, :2] @ off + m[:2, 2]
+        out = np.empty_like(x)
+        for c in range(x.shape[2]):
+            out[..., c] = affine_transform(x[..., c], m[:2, :2], offset=offset, order=1, mode="nearest")
+        if flip:
+            out = out[:, ::-1]
+        return out
