@@ -1,0 +1,4 @@
+from .decoder_lrp import explain_word_adaptive, explain_word_gridtd  # noqa: F401
+from .cnn_lrp import vgg_lrp_preset_a, vgg_lrp_preset_b  # noqa: F401
+from .cnn_gradient import vgg_gradient, vgg_guided_backprop  # noqa: F401
+from .engine import Explainer  # noqa: F401

@@ -1,0 +1,88 @@
+"""CNN-side LRP: rule-tagged backward over the VGG conv stack.
+
+Equivalent of the vendored iNNvestigate analyzers with the local
+``neuron_selection_mode='replace'`` modification (innvestigate/analyzer/
+base.py:330-401, utils/keras/graph.py:894-941): the relevance seed is an
+arbitrary (14,14,512) tensor injected at the tapped layer (here: the decoder
+LRP's feature-grid relevance) and propagated back to the input image.
+
+Presets (relevance_analyzer.py:695-748):
+* PresetA — epsilon(bias=False) on dense, alpha1beta0 on conv. The VGG
+  sub-model up to block5_conv3 has no dense layers, so PresetA == alpha1beta0
+  on every conv; maxpool reversed by winner-take-all gradient
+  (relevance_analyzer.py:459-482); relu passes relevance unchanged (rules act
+  on the layer without its activation).
+* PresetB — epsilon(bias=True) on dense, alpha2beta1 on conv.
+
+TPU design: one jitted program runs the whole backward; the engine vmaps a
+leading ``words`` dim over the relevance seed while the forward activations
+are computed once per image and broadcast — per-word heatmaps cost one batched
+conv-transpose chain instead of the reference's per-word Keras predict calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.vgg import vgg_apply_with_acts, vgg_layers
+from ..ops.lrp_conv import lrp_conv_alpha_beta, lrp_conv_epsilon, lrp_maxpool_wta
+
+
+def _vgg_lrp_backward(params, inputs, relevance, arch, until, conv_rule):
+    """Walk vgg_layers(...) in reverse applying ``conv_rule`` per conv and WTA
+    per pool. ``inputs[i]`` is the forward input of op i."""
+    ops = vgg_layers(arch, until)
+    r = relevance
+    for op, x in zip(reversed(ops), reversed(inputs)):
+        if op[0] == "conv":
+            p = params[op[1]]
+            r = conv_rule(r, x, p["kernel"], p["bias"])
+        else:
+            r = lrp_maxpool_wta(r, x)
+    return r
+
+
+def vgg_lrp_preset_a(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
+    """LRPSequentialPresetA with epsilon=0.01 (the reference's EPS, model.py:23).
+
+    image: (B, 224, 224, 3) preprocessed; relevance_seed: (B, 14, 14, 512)
+    (or vmapped with an extra leading words dim on the seed only).
+    Returns input-space relevance (B, 224, 224, 3).
+    """
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    rule = lambda r, x, k, b: lrp_conv_alpha_beta(r, x, k, b, alpha=1.0, beta=0.0)
+    return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
+
+
+def vgg_lrp_preset_b(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
+    """LRPSequentialPresetB: alpha2beta1 on conv (relevance_analyzer.py:724-748)."""
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    rule = lambda r, x, k, b: lrp_conv_alpha_beta(r, x, k, b, alpha=2.0, beta=1.0)
+    return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
+
+
+def vgg_lrp_epsilon(params, image, relevance_seed, arch="vgg16", until="block5_conv3", eps=0.01, bias=True):
+    """Plain epsilon-rule LRP over the conv stack (LRPEpsilon analyzer)."""
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    rule = lambda r, x, k, b: lrp_conv_epsilon(r, x, k, b if bias else None, eps=eps)
+    return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
+
+
+def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", until="block5_conv3"):
+    """Per-word LRP with the forward pass shared across words.
+
+    image: (1, 224, 224, 3); relevance_seeds: (W, 14, 14, 512) — one seed per
+    caption word. The forward activations are computed once and the backward
+    is vmapped over W, so all W heatmaps come out of one XLA program.
+    Returns (W, 224, 224, 3).
+    """
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+
+    def one(seed):
+        rule = lambda r, x, k, b: lrp_conv_alpha_beta(r, x, k, b, alpha=1.0, beta=0.0)
+        return _vgg_lrp_backward(params, inputs, seed[None], arch, until, rule)[0]
+
+    return jax.vmap(one)(relevance_seeds)

@@ -1,0 +1,3 @@
+from .greedy import greedy_decode  # noqa: F401
+from .beam import beam_search  # noqa: F401
+from .api import BasicInference, BeamSearchInference  # noqa: F401

@@ -1,0 +1,112 @@
+"""Full captioning model assembly: CNN encoder + decoder + losses.
+
+Equivalent of ImgCaptioningAdaptiveAttentionModel (model.py:415-472) and
+ImgCaptioninggridTDAdaptiveModel (model.py:609-664), with both loss variants:
+
+* ``masked_ce_from_logits`` — softmax-CE on logits, last timestep discarded,
+  all-zero label rows contribute zero loss (model.py:95-103). Used by the
+  adaptive model and by the ``from_logits`` config mode.
+* ``keras_categorical_ce`` — the reference grid-TD quirk: Keras
+  ``categorical_crossentropy`` applied DIRECTLY to logits, i.e. the logits are
+  renormalized to sum 1 and clipped before log (model.py:662-664). Provided
+  for training parity with published grid-TD checkpoints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import adaptive, gridtd, vgg
+
+
+def masked_ce_from_logits(logits, y_onehot):
+    """(B,T,V) logits, (B,T,V) one-hot (all-zero rows = padding) -> scalar.
+
+    Mirrors categorical_crossentropy_from_logits (model.py:95-103): the last
+    timestep is discarded; tf.nn.softmax_cross_entropy_with_logits on all-zero
+    labels yields 0, so padding rows vanish. Keras then means over (B,T-1).
+    """
+    logits = logits[:, :-1, :]
+    y = y_onehot[:, :-1, :].astype(logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -(y * logp).sum(-1)
+    return ce.mean()
+
+
+def keras_categorical_ce(logits, y_onehot, eps: float = 1e-7):
+    """Keras categorical_crossentropy applied to raw logits (grid-TD quirk,
+    model.py:662-664): output renormalized to sum 1, clipped, then -y*log(p)."""
+    y = y_onehot.astype(logits.dtype)
+    p = logits / jnp.maximum(logits.sum(-1, keepdims=True), eps)
+    p = jnp.clip(p, eps, 1.0 - eps)
+    ce = -(y * jnp.log(p)).sum(-1)
+    return ce.mean()
+
+
+def masked_accuracy(logits, y_onehot):
+    """categorical_accuracy_with_variable_timestep (model.py:105-123)."""
+    logits = logits[:, :-1, :]
+    y = y_onehot[:, :-1, :]
+    valid = y.sum(-1) > 0
+    match = jnp.argmax(logits, -1) == jnp.argmax(y, -1)
+    return (match & valid).sum() / jnp.maximum(valid.sum(), 1)
+
+
+@dataclass
+class Captioner:
+    """Bundles encoder + decoder fns over one params pytree.
+
+    params = {'vgg': {...}, 'decoder': {...}}
+    """
+
+    model_type: str            # 'adaptiveattention' | 'gridTD'
+    cfg: Any
+    vocab_size: int
+    decoder: Any               # module: adaptive | gridtd
+
+    def init_params(self, key):
+        k1, k2 = jax.random.split(key)
+        return {
+            "vgg": vgg.init_vgg_params(k1, self.cfg.img_encoder, self.cfg.layer_name),
+            "decoder": self.decoder.init_params(k2, self.vocab_size, self.cfg),
+        }
+
+    def encode(self, params, images, compute_dtype=None):
+        """images (B,224,224,3) preprocessed BGR -> (B, L, D) feature grid."""
+        feats = vgg.vgg_apply(
+            params["vgg"], images, self.cfg.img_encoder, self.cfg.layer_name, compute_dtype
+        )
+        B = feats.shape[0]
+        return feats.reshape(B, self.cfg.img_feature_length, self.cfg.img_feature_dim).astype(jnp.float32)
+
+    def prepare_consts(self, params, feat_grid):
+        return self.decoder.prepare_consts(params["decoder"], feat_grid)
+
+    def forward_train(self, params, images, captions_in, dropout_rng=None):
+        feat_grid = self.encode(params, images)
+        drop = self.cfg.drop_rate if dropout_rng is not None else 0.0
+        return self.decoder.forward_train(
+            params["decoder"], feat_grid, captions_in, self.cfg, dropout_rng, drop
+        )
+
+    def loss_fn(self) -> Callable:
+        if self.cfg.loss_mode == "keras_categorical" and self.model_type == "gridTD":
+            return keras_categorical_ce
+        return masked_ce_from_logits
+
+    def loss(self, params, images, captions_in, y_onehot, dropout_rng=None):
+        logits = self.forward_train(params, images, captions_in, dropout_rng)
+        return self.loss_fn()(logits, y_onehot)
+
+
+def build_captioner(model_type: str, cfg, vocab_size: int) -> Captioner:
+    """MODELTYPE registry equivalent (train.py:676-682)."""
+    if model_type == "adaptiveattention":
+        return Captioner(model_type, cfg, vocab_size, adaptive)
+    if model_type == "gridTD":
+        return Captioner(model_type, cfg, vocab_size, gridtd)
+    raise ValueError(f"unknown model type {model_type!r} (choose adaptiveattention|gridTD)")

@@ -1,0 +1,158 @@
+"""LRP rules for conv / pool layers, as fused XLA programs.
+
+Reproduces the iNNvestigate rules the reference actually uses
+(innvestigate/analyzer/relevance_based/relevance_rule.py):
+
+* ``lrp_conv_epsilon``    — EpsilonRule (relevance_rule.py:113-144): sign-
+  aligned stabilizer, optional bias in z.
+* ``lrp_conv_alpha_beta`` — AlphaBetaRule (relevance_rule.py:216-322):
+  inputs split +/-, weights split +/- (bias split by sign too, since the rule
+  signs *all* layer weights, relevance_rule.py:252-260); zero denominators
+  replaced via SafeDivide (layers.py:446-458). alpha=1, beta=0 is the conv
+  rule of LRPSequentialPresetA (relevance_analyzer.py:695-721).
+* ``lrp_maxpool_wta``     — max pooling reversed by its gradient
+  (winner-take-all), the LRP analyzer's default mapping for MaxPooling
+  (relevance_analyzer.py:459-482).
+
+Design note (TPU): relevance redistribution through a conv is a transposed
+convolution; we obtain it as the VJP of the *same* forward conv so XLA picks
+the optimal conv-transpose algorithm on the MXU and fuses the surrounding
+elementwise ops (split/divide/multiply) into it. The word-batched explanation
+path vmaps these with a leading (words,) dim, turning per-word backward passes
+into one batched conv per layer.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .lrp_core import EPS_KERAS, safe_divide, sign_stabilizer
+
+
+def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1, padding: str = "SAME") -> jnp.ndarray:
+    """NHWC conv with HWIO kernel (VGG uses 3x3 SAME stride 1)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def conv2d_input_vjp(x_shape, kernel, cotangent, stride: int = 1, padding: str = "SAME"):
+    """Gradient of conv2d wrt its input for a given cotangent (transposed conv)."""
+    primal = jnp.zeros(x_shape, dtype=cotangent.dtype)
+    _, vjp = jax.vjp(lambda x: conv2d(x, kernel, stride, padding), primal)
+    (dx,) = vjp(cotangent)
+    return dx
+
+
+def lrp_conv_epsilon(
+    r: jnp.ndarray,
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    eps: float = EPS_KERAS,
+    stride: int = 1,
+    padding: str = "SAME",
+) -> jnp.ndarray:
+    """EpsilonRule for a conv layer: rel = x * conv^T(r / stab(z), W).
+
+    ``bias=None`` reproduces EpsilonProxyRule(bias=False) of PresetA's dense
+    branch (relevance_analyzer.py:706-712); pass the bias for bias=True rules.
+    """
+    z = conv2d(x, kernel, stride, padding)
+    if bias is not None:
+        z = z + bias
+    s = r / sign_stabilizer(z, eps)
+    return x * conv2d_input_vjp(x.shape, kernel, s, stride, padding)
+
+
+def lrp_conv_alpha_beta(
+    r: jnp.ndarray,
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray | None,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    stride: int = 1,
+    padding: str = "SAME",
+    factor: float = EPS_KERAS,
+) -> jnp.ndarray:
+    """AlphaBetaRule for a conv layer (alpha - beta = 1).
+
+    activator  = x+*W+ + x-*W- contributions, inhibitor = x+*W- + x-*W+;
+    result = alpha*activator - beta*inhibitor (skipped when beta == 0,
+    as in the reference, relevance_rule.py:313-322).
+    """
+    kp = kernel * (kernel >= 0)
+    kn = kernel * (kernel < 0)
+    bp = bn = None
+    if bias is not None:
+        bp = bias * (bias >= 0)
+        bn = bias * (bias < 0)
+    xp = jnp.maximum(x, 0)
+    xn = jnp.minimum(x, 0)
+
+    def f(k1, b1, k2, b2):
+        z1 = conv2d(xp, k1, stride, padding)
+        z2 = conv2d(xn, k2, stride, padding)
+        if b1 is not None:
+            z1 = z1 + b1
+        if b2 is not None:
+            z2 = z2 + b2
+        s = safe_divide(r, z1 + z2, factor)
+        t1 = xp * conv2d_input_vjp(x.shape, k1, s, stride, padding)
+        t2 = xn * conv2d_input_vjp(x.shape, k2, s, stride, padding)
+        return t1 + t2
+
+    activator = f(kp, bp, kn, bn)
+    if beta:
+        inhibitor = f(kn, bn, kp, bp)
+        return alpha * activator - beta * inhibitor
+    return alpha * activator if alpha != 1.0 else activator
+
+
+def maxpool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def lrp_maxpool_wta(r: jnp.ndarray, x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    """Winner-take-all relevance redistribution = gradient of max-pool with
+    cotangent r (the LRP default for MaxPooling, relevance_analyzer.py:472)."""
+    _, vjp = jax.vjp(partial(maxpool2d, window=window, stride=stride), x)
+    (dx,) = vjp(r)
+    return dx
+
+
+def avgpool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    summed = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+    return summed / float(window * window)
+
+
+def lrp_avgpool(r: jnp.ndarray, x: jnp.ndarray, window: int = 2, stride: int = 2, eps: float = EPS_KERAS) -> jnp.ndarray:
+    """AveragePoolingReverseLayer: treat the pool as a linear layer and apply
+    the z-rule (relevance_analyzer.py:262-291): rel = x * grad(sum-pool)(r/stab(z))/n."""
+    z = avgpool2d(x, window, stride)
+    s = r / sign_stabilizer(z, eps)
+    _, vjp = jax.vjp(partial(avgpool2d, window=window, stride=stride), x)
+    (dx,) = vjp(s)
+    return x * dx
