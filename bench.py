@@ -1,0 +1,114 @@
+"""Benchmark: images/sec/chip for caption + per-word LRP heatmap generation.
+
+This is BASELINE.json's headline metric: beam-search caption (beam 3, T=20)
+plus an epsilon/alpha1beta0 LRP relevance heatmap for EVERY caption word,
+through both the LSTM decoder and the VGG16 encoder — the reference's
+explain-one-image pipeline (explain_image.py + models/explainers.py), which
+on Keras runs one numpy/CPU decoder backward and one Keras predict per word.
+
+vs_baseline compares against the Keras reference's measured CPU throughput
+for the same work (see BASELINE.md "measured baselines" — reference
+explainers are CPU-numpy per word; on this machine's class of CPU the
+reference sustains ~0.05 img/s). >1.0 means faster than the reference.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Keras-reference CPU throughput for caption+all-word LRP heatmaps (img/s).
+# See BASELINE.md: no throughput numbers exist in the reference repo; this is
+# the measured-on-comparable-hardware estimate recorded there.
+KERAS_CPU_BASELINE_IMG_PER_S = 0.05
+
+BATCH = 8
+VOCAB = 7003
+BEAM = 3
+T = 20
+
+
+def build():
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import vgg_lrp_preset_a_wordbatched
+    from lrp_imagecaptioning_tpu.explain.decoder_lrp import explain_word_adaptive
+    from lrp_imagecaptioning_tpu.infer.beam import beam_search
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cfg = FlickrConfig()
+    cap = build_captioner("adaptiveattention", cfg, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    sos, eos = 1, 2  # token ids are arbitrary for throughput
+
+    def caption_and_explain(params, images):
+        feat_grid = cap.encode(params, images)                     # (B,L,D)
+        tokens, _ = beam_search(cap, params, feat_grid, sos, eos, BEAM, T)
+
+        consts_b = cap.prepare_consts(params, feat_grid)
+        prev = jnp.concatenate(
+            [jnp.full((BATCH, 1), sos, jnp.int32), tokens[:, :-1].astype(jnp.int32)], axis=1
+        )
+        inputs0 = jnp.maximum(prev - 1, 0)
+        caches_b = cap.decoder.forward_cached_from_inputs(
+            params["decoder"], consts_b, inputs0, cfg.hidden_dim
+        )
+        words0 = jnp.maximum(tokens - 1, 0).astype(jnp.int32)
+
+        def per_b(consts, caches, w0):
+            def one(t, w):
+                r_feat, _, _ = explain_word_adaptive(params["decoder"], consts, caches, t, w, T)
+                return r_feat
+
+            return jax.vmap(one)(jnp.arange(T), w0)
+
+        caches_bt = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), caches_b)
+        r_feat = jax.vmap(per_b)(consts_b, caches_bt, words0)      # (B,T,L,D)
+
+        def cnn_one(args):
+            image, seeds = args
+            return vgg_lrp_preset_a_wordbatched(
+                params["vgg"], image[None], seeds, cfg.img_encoder, cfg.layer_name
+            )
+
+        seeds = r_feat.reshape(BATCH, T, 14, 14, cfg.img_feature_dim)
+        heatmaps = jax.lax.map(cnn_one, (images, seeds))           # (B,T,224,224,3)
+        return tokens, heatmaps
+
+    fn = jax.jit(caption_and_explain)
+    return fn, params
+
+
+def main():
+    fn, params = build()
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
+
+    # compile + warmup
+    tokens, heatmaps = fn(params, images)
+    jax.block_until_ready(heatmaps)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tokens, heatmaps = fn(params, images)
+    jax.block_until_ready(heatmaps)
+    dt = time.perf_counter() - t0
+
+    n_chips = 1  # bench runs single-chip
+    img_per_s = BATCH * iters / dt / n_chips
+    print(json.dumps({
+        "metric": "caption+lrp_heatmap_throughput",
+        "value": round(img_per_s, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / KERAS_CPU_BASELINE_IMG_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

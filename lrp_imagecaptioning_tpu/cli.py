@@ -1,0 +1,202 @@
+"""Command-line entry points.
+
+The reference has no CLI at all — every entry point is an edit-me
+``__main__`` block with hard-coded paths (train.py:686-716,
+inference.py:377-420, explain_image.py:374-384). This module replaces that
+with argparse subcommands over the same operations:
+
+    python -m lrp_imagecaptioning_tpu.cli train       --dataset flickr30k --model gridTD ...
+    python -m lrp_imagecaptioning_tpu.cli finetune-lrp --weights ckpt ...
+    python -m lrp_imagecaptioning_tpu.cli evaluate    --weights ckpt --beam-size 3 ...
+    python -m lrp_imagecaptioning_tpu.cli explain     --weights ckpt --image path.jpg --method lrp
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _build_dataset(args):
+    from .config import COCO2014Config, COCOConfig, FlickrConfig
+    from .data.datasets import COCODataset, COCODatasetKarpathy, Flickr30kDataset, SyntheticDataset
+
+    cfgs = {
+        "flickr30k": (FlickrConfig, Flickr30kDataset),
+        "coco": (COCOConfig, COCODataset),
+        "coco2014": (COCO2014Config, COCODatasetKarpathy),
+        "synthetic": (FlickrConfig, None),
+    }
+    cfg_cls, ds_cls = cfgs[args.dataset]
+    cfg = cfg_cls()
+    overrides = {}
+    for field in ("batch_size", "learning_rate", "epochs"):
+        v = getattr(args, field, None)
+        if v is not None:
+            overrides[field] = v
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    if args.dataset == "synthetic":
+        from .data.datasets import SyntheticDataset
+
+        return cfg, SyntheticDataset(cfg)
+    return cfg, ds_cls(cfg)
+
+
+def _add_common(p):
+    p.add_argument("--dataset", default="flickr30k",
+                   choices=["flickr30k", "coco", "coco2014", "synthetic"])
+    p.add_argument("--model", dest="model_type", default="adaptiveattention",
+                   choices=["adaptiveattention", "gridTD"])
+    p.add_argument("--weights", default=None, help=".npz / orbax dir / reference .hdf5")
+    p.add_argument("--batch-size", type=int, dest="batch_size", default=None)
+
+
+def cmd_train(args):
+    from .train.trainer import Trainer
+
+    cfg, dataset = _build_dataset(args)
+    mesh = None
+    if args.num_devices:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+    t = Trainer(args.model_type, cfg, dataset, label=args.label, mesh=mesh)
+    if args.weights:
+        t.load_weights(args.weights)
+    if args.resume:
+        t.resume_latest()
+    t.run(epochs=args.epochs, time_limit=args.time_limit)
+
+
+def cmd_finetune_lrp(args):
+    import jax
+
+    from .data.provider import DatasetProvider
+    from .models.captioner import build_captioner
+    from .train.lrp_finetune import LRPFinetuner
+
+    cfg, dataset = _build_dataset(args)
+    provider = DatasetProvider(dataset, cfg)
+    captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+    params = _load_params(captioner, args)
+    tuner = LRPFinetuner(captioner, params, provider, mode=args.lrp_mode,
+                         learning_rate=args.learning_rate or 1e-6)
+    # reference drives 50 chunks x 10 iterations (train.py:696-716)
+    for save_idx in range(args.start_chunk, args.chunks):
+        m = tuner.run(save_idx, args.epoch_length, result_dir=args.out or "results/lrp-finetune")
+        print(f"chunk {save_idx}: {m}")
+
+
+def cmd_evaluate(args):
+    from .data.provider import DatasetProvider
+    from .infer.api import BasicInference, BeamSearchInference
+    from .models.captioner import build_captioner
+
+    cfg, dataset = _build_dataset(args)
+    provider = DatasetProvider(dataset, cfg)
+    captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+    params = _load_params(captioner, args)
+    cls = BeamSearchInference if args.beam_size > 1 else BasicInference
+    kw = {"beam_size": args.beam_size} if args.beam_size > 1 else {}
+    inference = cls(captioner, params, provider, max_caption_length=cfg.sentence_length, **kw)
+    metrics, preds, refs = inference.evaluate_test_set(include_prediction=True)
+    print(metrics)
+    if args.out:
+        import os
+
+        import yaml
+
+        os.makedirs(args.out, exist_ok=True)
+        for name, obj in [("metrics", metrics), ("predictions", preds), ("reference", refs)]:
+            with open(os.path.join(args.out, f"test-{name}.yaml"), "w") as f:
+                yaml.safe_dump(obj, f)
+
+
+def cmd_explain(args):
+    from .data.provider import DatasetProvider
+    from .explain.drivers import explain_image_file, process_beam_search
+    from .models.captioner import build_captioner
+
+    cfg, dataset = _build_dataset(args)
+    provider = DatasetProvider(dataset, cfg)
+    captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+    params = _load_params(captioner, args)
+    out = args.out or ((args.weights or "model") + ".explanation")
+    if args.image:
+        ex = explain_image_file(captioner, params, provider.caption_preprocessor,
+                                args.image, out, method=args.method, beam_size=args.beam_size)
+        print(ex.caption)
+    else:
+        for ex in process_beam_search(captioner, params, provider, out,
+                                      method=args.method, beam_size=args.beam_size,
+                                      num_images=args.num_images):
+            print(ex.caption)
+
+
+def _load_params(captioner, args):
+    import jax
+
+    params = captioner.init_params(jax.random.PRNGKey(0))
+    if not args.weights:
+        return params
+    if args.weights.endswith((".h5", ".hdf5")):
+        from .models.weights_io import load_reference_checkpoint_h5
+
+        return load_reference_checkpoint_h5(args.weights, captioner.model_type,
+                                            captioner.cfg.img_encoder, captioner.cfg.layer_name)
+    if args.weights.endswith(".npz"):
+        from .train.checkpoint import load_params_npz
+
+        return load_params_npz(args.weights)
+    from .train.checkpoint import restore_checkpoint
+
+    params, _ = restore_checkpoint(args.weights, params)
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lrp_imagecaptioning_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train a captioner (train.py main_attention parity)")
+    _add_common(p)
+    p.add_argument("--label", default="run")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, dest="learning_rate", default=None)
+    p.add_argument("--time-limit", default=None, help="e.g. '12 hours'")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--num-devices", type=int, default=None, help="data-parallel mesh size")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("finetune-lrp", help="LRP-inference finetuning (train.py:519-673)")
+    _add_common(p)
+    p.add_argument("--lrp-mode", default="mean", choices=["mean", "pos_mean", "quantile"])
+    p.add_argument("--learning-rate", type=float, dest="learning_rate", default=1e-6)
+    p.add_argument("--chunks", type=int, default=50)
+    p.add_argument("--start-chunk", type=int, default=0)
+    p.add_argument("--epoch-length", type=int, default=10)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_finetune_lrp)
+
+    p = sub.add_parser("evaluate", help="caption-metric evaluation (inference.py main)")
+    _add_common(p)
+    p.add_argument("--beam-size", type=int, default=3)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("explain", help="word-by-word explanation (explain_image.py)")
+    _add_common(p)
+    p.add_argument("--method", default="lrp",
+                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam"])
+    p.add_argument("--image", default=None, help="explain one image file")
+    p.add_argument("--num-images", type=int, default=1)
+    p.add_argument("--beam-size", type=int, default=3)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_explain)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -180,7 +180,6 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
         )
 
     zero = jnp.zeros((H,), d_h2_T.dtype)
-    (––, _, _, _, d_V) if False else None  # noqa — placeholder removed below
     (carry_out, (d_glob_steps, d_word_steps)) = jax.lax.scan(
         body, (zero, zero, zero, zero, d_V_accum0), jnp.arange(T - 1, -1, -1)
     )

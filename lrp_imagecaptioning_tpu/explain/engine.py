@@ -1,0 +1,204 @@
+"""Explanation engine: caption an image and explain every word, on device.
+
+Equivalent of the reference's per-model explainer classes
+(models/explainers.py:22-257 driver surface + explain_image.py:27-150) with a
+TPU-first execution plan:
+
+* the caption comes from the jitted beam search (infer/beam.py) — encoder runs
+  once (the reference re-runs VGG per beam step, explainers.py:51-120);
+* ONE jitted program then reruns the decoder with full state caching
+  (``forward_cached_from_inputs``), vmaps the per-word decoder backward over
+  all T word positions, and runs the word-batched CNN backward — the
+  reference's per-word CPU↔GPU ping-pong (explainers.py:179-189) becomes a
+  single XLA program per image.
+
+Methods (same registry the reference exposes one class per entry for):
+  'lrp'                  — decoder epsilon-LRP + CNN LRPSequentialPresetA
+  'gradient'             — reference-semantics BPTT gradient + CNN Gradient
+  'input_times_gradient' — ... + CNN InputTimesGradient
+  'guided_gradcam'       — ... + GuidedBackprop x GradCAM (explainers.py:925-991)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..infer.beam import beam_search
+from .cnn_gradient import (
+    grad_cam,
+    vgg_gradient,
+    vgg_guided_backprop,
+    vgg_input_times_gradient,
+)
+from .cnn_lrp import vgg_lrp_preset_a_wordbatched
+from .decoder_grad import grad_word_adaptive, grad_word_gridtd
+from .decoder_lrp import explain_word_adaptive, explain_word_gridtd
+
+METHODS = ("lrp", "gradient", "input_times_gradient", "guided_gradcam")
+
+
+@dataclass
+class Explanation:
+    """Everything the drivers / eval need for one image."""
+
+    caption: str                 # decoded caption incl. trailing EOS word
+    words: list                  # caption words WITHOUT the EOS sentinel
+    tokens_1based: np.ndarray    # (T,) beam-search output tokens (0 padded)
+    relevance_maps: np.ndarray   # (W, 224, 224, 3) input-space heatmaps
+    feat_relevance: np.ndarray   # (W, L, D) CNN feature-grid relevance
+    attentions: np.ndarray       # (W, L) attention at each explained word
+    word_relevances: np.ndarray  # (W, T) linguistic relevances, normalized
+    betas: np.ndarray            # (W,) sentinel gate at each explained word
+
+
+def _decoder_backward_fn(model_type: str, method: str):
+    if method == "lrp":
+        return explain_word_adaptive if model_type == "adaptiveattention" else explain_word_gridtd
+    return grad_word_adaptive if model_type == "adaptiveattention" else grad_word_gridtd
+
+
+class Explainer:
+    """Word-by-word explanation of a captioning model (one image at a time).
+
+    Images must already be VGG-preprocessed (data/images.py); raw relevance
+    maps come back in input space for rendering / bbox evaluation.
+    """
+
+    def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None):
+        if method not in METHODS:
+            raise ValueError(f"method {method!r} not in {METHODS}")
+        self.captioner = captioner
+        self.params = params
+        self._pp = caption_pp
+        self.method = method
+        self._beam_size = beam_size
+        self._max_len = max_len or captioner.cfg.sentence_length
+        self._decode = jax.jit(self._decode_impl)
+        self._explain = jax.jit(self._explain_impl)
+
+    # -- jitted programs ---------------------------------------------------
+
+    def _decode_impl(self, params, image):
+        feat_grid = self.captioner.encode(params, image[None])
+        tokens, score = beam_search(
+            self.captioner,
+            params,
+            feat_grid,
+            self._pp.SOS_TOKEN_LABEL_ENCODED,
+            self._pp.EOS_TOKEN_LABEL_ENCODED,
+            self._beam_size,
+            self._max_len,
+        )
+        return tokens[0], score[0]
+
+    def _explain_impl(self, params, image, tokens_1based):
+        """All-word explanation as one program.
+
+        tokens_1based: (T,) beam output (1-based, 0 after EOS). Word positions
+        are explained unconditionally (static shapes); the caller masks.
+        """
+        cap = self.captioner
+        T = self._max_len
+        sos0 = self._pp.SOS_TOKEN_LABEL_ENCODED - 1
+        feat_grid = cap.encode(params, image[None])          # (1, L, D)
+        consts_b = cap.prepare_consts(params, feat_grid)
+        dec_params = params["decoder"]
+        # decoder input at step 0 is SOS, at i>0 the previous caption word
+        # (reference embedding-lookup sequence, explainers.py:399-408)
+        prev = jnp.concatenate([jnp.array([sos0 + 1], jnp.int32), tokens_1based[:-1]])
+        inputs0 = jnp.maximum(prev - 1, 0)[None]             # (1, T) 0-based
+        caches_b = cap.decoder.forward_cached_from_inputs(
+            dec_params, consts_b, inputs0, cap.cfg.hidden_dim
+        )
+        # strip batch dim: consts (.,) caches (T, ...)
+        consts = jax.tree.map(lambda x: x[0], consts_b)
+        caches = jax.tree.map(lambda x: x[:, 0], caches_b)
+
+        words0 = jnp.maximum(tokens_1based - 1, 0)           # model space
+        backward = _decoder_backward_fn(cap.model_type, self.method)
+
+        def one(t, w):
+            return backward(dec_params, consts, caches, t, w, T)
+
+        r_feat, r_words, atts = jax.vmap(one)(jnp.arange(T), words0)  # (T,L,D), (T,T), (T,L)
+
+        # linguistic relevance normalization (explainers.py:660-665)
+        r_words = r_words / (jnp.max(jnp.abs(r_words), axis=-1, keepdims=True) + 1e-12)
+
+        # CNN backward, word-batched; seeds (T, 14, 14, 512)
+        g = int(round(float(np.sqrt(cap.cfg.img_feature_length))))
+        seeds = r_feat.reshape(T, g, g, cap.cfg.img_feature_dim)
+        if self.method == "lrp":
+            maps = vgg_lrp_preset_a_wordbatched(
+                params["vgg"], image[None], seeds, cap.cfg.img_encoder, cap.cfg.layer_name
+            )
+        elif self.method == "gradient":
+            maps = jax.vmap(lambda s: vgg_gradient(
+                params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
+            )[0])(seeds)
+        elif self.method == "input_times_gradient":
+            maps = jax.vmap(lambda s: vgg_input_times_gradient(
+                params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
+            )[0])(seeds)
+        else:  # guided_gradcam
+            feat_hw = feat_grid[0].reshape(g, g, cap.cfg.img_feature_dim)
+
+            def one_ggc(s):
+                guided = vgg_guided_backprop(
+                    params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
+                )[0]
+                cam = grad_cam(feat_hw, s)
+                return guided * cam[:, :, None]
+
+            maps = jax.vmap(one_ggc)(seeds)
+        betas = caches.beta[:, 0]                            # (T,)
+        return maps, r_feat, r_words, atts, betas
+
+    # -- public API --------------------------------------------------------
+
+    def predict_caption(self, image) -> tuple[np.ndarray, str]:
+        tokens, _ = self._decode(self.params, jnp.asarray(image))
+        tokens = np.asarray(tokens)
+        words = []
+        for tok in tokens:
+            if tok == 0:
+                break
+            words.append(self._pp.word_of[int(tok)])
+            if tok == self._pp.EOS_TOKEN_LABEL_ENCODED:
+                break
+        return tokens, " ".join(words)
+
+    def analyze(self, image, tokens_1based: np.ndarray | None = None) -> Explanation:
+        """Beam-search a caption (unless given) and explain every word."""
+        image = jnp.asarray(image)
+        if tokens_1based is None:
+            tokens_1based, caption = self.predict_caption(image)
+        else:
+            caption = None
+        toks = jnp.asarray(tokens_1based, jnp.int32)
+        maps, r_feat, r_words, atts, betas = self._explain(self.params, image, toks)
+        eos = self._pp.EOS_TOKEN_LABEL_ENCODED
+        words, keep = [], []
+        for t, tok in enumerate(np.asarray(tokens_1based)):
+            if tok == 0 or tok == eos:
+                break
+            words.append(self._pp.word_of[int(tok)])
+            keep.append(t)
+        keep = np.asarray(keep, np.int64)
+        if caption is None:
+            caption = " ".join(words + [self._pp.EOS_TOKEN])
+        return Explanation(
+            caption=caption,
+            words=words,
+            tokens_1based=np.asarray(tokens_1based),
+            relevance_maps=np.asarray(maps)[keep],
+            feat_relevance=np.asarray(r_feat)[keep],
+            attentions=np.asarray(atts)[keep],
+            word_relevances=np.asarray(r_words)[keep],
+            betas=np.asarray(betas)[keep],
+        )

@@ -6,3 +6,5 @@ from .vgg import (  # noqa: F401
     load_keras_vgg_h5,
 )
 from .captioner import build_captioner, Captioner  # noqa: F401
+from .weights_io import load_reference_checkpoint_h5, load_reference_decoder_h5  # noqa: F401
+from .word_vectors import Fasttext, Glove, init_embedding  # noqa: F401

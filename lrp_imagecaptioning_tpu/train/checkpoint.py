@@ -1,0 +1,93 @@
+"""Orbax checkpointing of params + optimizer state (+ epoch metadata).
+
+Improves on the reference's HDF5 weight-only checkpoints (train.py:79-88):
+optimizer moments are saved too, so resume does not restart Adam from zero
+(the reference's known limitation, SURVEY.md §5.4). Checkpoint names encode
+the monitored metric like the reference's
+``keras_model_{epoch:02d}_{val_cider:.4f}.hdf5`` pattern.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import jax
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def ckpt_name(epoch: int, metric: float | None) -> str:
+    if metric is None:
+        return f"ckpt_{epoch:02d}"
+    return f"ckpt_{epoch:02d}_{metric:.4f}"
+
+
+def save_checkpoint(directory: str, epoch: int, params, opt_state=None, metric: float | None = None) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.abspath(os.path.join(directory, ckpt_name(epoch, metric)))
+    state = {"params": params}
+    if opt_state is not None:
+        state["opt_state"] = opt_state
+    c = _ckptr()
+    c.save(path, state, force=True)
+    c.wait_until_finished()  # saves are async; finalize before returning
+    return path
+
+
+def latest_checkpoint(directory: str) -> str | None:
+    """Find the newest checkpoint by epoch number encoded in the name
+    (the reference globs checkpoint names the same way, train.py:563-564)."""
+    cands = [c for c in glob.glob(os.path.join(directory, "ckpt_*")) if "-tmp" not in c]
+    best, best_epoch = None, -1
+    for c in cands:
+        m = re.match(r"ckpt_(\d+)", os.path.basename(c))
+        if m and int(m.group(1)) > best_epoch:
+            best, best_epoch = c, int(m.group(1))
+    return best
+
+
+def restore_checkpoint(path: str, params_template, opt_state_template=None):
+    """Restore into the given templates; returns (params, opt_state|None)."""
+    target = {"params": params_template}
+    if opt_state_template is not None:
+        target["opt_state"] = opt_state_template
+    restored = _ckptr().restore(os.path.abspath(path), target)
+    return restored["params"], restored.get("opt_state")
+
+
+def save_params_npz(path: str, params) -> None:
+    """Flat .npz export (portable, dependency-light alternative)."""
+    flat = {}
+
+    def walk(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    walk("", params)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str):
+    """Inverse of save_params_npz -> nested dict of jnp arrays."""
+    import jax.numpy as jnp
+
+    out = {}
+    with np.load(path) as f:
+        for key in f.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(f[key])
+    return out

@@ -1,0 +1,215 @@
+"""LRP-inference finetuning: relevance-weighted dual-loss training to reduce
+object hallucination.
+
+Reference pipeline (train.py:519-673 + model.py:1379-2062) per batch:
+  1. y_pred = teacher-forced forward (no dropout), argmax -> predicted words
+  2. per sample, per predicted word that is neither a stop word nor EOS
+     (stop words skipped, EOS breaks — model.py:1666-1671): decoder LRP for
+     that word -> CNN LRP -> channel-mean heatmap -> project to [-1,1] by
+     absmax -> scalar score by mode 'mean'|'pos_mean'|'quantile'(0.9)
+     (model.py:2050-2058)
+  3. lrp_weight = 1 + score scattered at [t, word] (model.py:1689-1690)
+  4. dual loss: 0.5*CE(y, logits) + 0.5*CE(y, logits*lrp_weight), both
+     softmax-CE-from-logits (model.py:1304-1313)
+
+The reference rebuilds the whole numpy LRP engine EVERY batch and round-trips
+CPU<->GPU per word. Here steps 1-4 are ONE jitted program: the decoder LRP
+vmaps over (batch x words) and the CNN LRP batches all words of a sample in a
+single conv-transpose chain (lax.map over samples bounds VMEM/HBM pressure).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..explain.cnn_lrp import vgg_lrp_preset_a_wordbatched
+from ..explain.decoder_lrp import explain_word_adaptive, explain_word_gridtd
+from ..models.captioner import masked_accuracy, masked_ce_from_logits
+
+# NLTK english stop words (reference model.py:22 pulls these from
+# nltk.corpus.stopwords; frozen here so no corpus download is needed)
+STOP_WORDS = frozenset("""a about above after again against ain all am an and any are aren aren't as at be
+because been before being below between both but by can couldn couldn't d did didn didn't do does doesn
+doesn't doing don don't down during each few for from further had hadn hadn't has hasn hasn't have haven
+haven't having he her here hers herself him himself his how i if in into is isn isn't it it's its itself
+just ll m ma me mightn mightn't more most mustn mustn't my myself needn needn't no nor not now o of off on
+once only or other our ours ourselves out over own re s same shan shan't she she's should should've shouldn
+shouldn't so some such t than that that'll the their theirs them themselves then there these they this those
+through to too under until up ve very was wasn wasn't we were weren weren't what when where which while who
+whom why will with won won't wouldn wouldn't y you you'd you'll you're you've your yours yourself
+yourselves""".split())
+
+
+def stop_word_table(caption_pp) -> np.ndarray:
+    """(vocab_size+1,) bool over 1-based token ids; True = skip this word.
+
+    Index 0 (padding) and EOS are handled separately in the mask logic."""
+    V = caption_pp.vocab_size
+    table = np.zeros(V + 1, bool)
+    for tok in range(1, V + 1):
+        if caption_pp.word_of[tok] in STOP_WORDS:
+            table[tok] = True
+    return table
+
+
+def _project(hp):
+    """x / max|x| with all-zero guard (model.py:1643-1648)."""
+    absmax = jnp.max(jnp.abs(hp))
+    return jnp.where(absmax == 0, jnp.zeros_like(hp), hp / jnp.where(absmax == 0, 1.0, absmax))
+
+
+def _score(hp, mode: str):
+    if mode == "mean":
+        return jnp.mean(hp)
+    if mode == "pos_mean":
+        return jnp.mean(jnp.maximum(hp, 0))
+    if mode == "quantile":
+        return jnp.quantile(hp, 0.9)
+    raise NotImplementedError(f"lrp_inference_mode {mode!r}")
+
+
+def lrp_weights(captioner, params, images, y_pred_logits, stop_table, sos_1based: int,
+                eos_1based: int, mode: str = "mean"):
+    """(B,T,V) relevance weights, fully on device.
+
+    images: (B,224,224,3) preprocessed; y_pred_logits: (B,T,V) teacher-forced
+    predictions; stop_table: (V+1,) bool (True = stop word).
+    """
+    cap = captioner
+    cfg = cap.cfg
+    B, T, V = y_pred_logits.shape
+    caption1 = jnp.argmax(y_pred_logits, axis=-1) + 1                 # (B,T) 1-based
+    # decoder inputs: SOS then the predicted words (model.py:1764-1790)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), sos_1based, jnp.int32), caption1[:, :-1].astype(jnp.int32)], axis=1
+    )
+    inputs0 = jnp.maximum(prev - 1, 0)
+
+    feat_grid = cap.encode(params, images)                            # (B,L,D)
+    consts_b = cap.prepare_consts(params, feat_grid)
+    caches_b = cap.decoder.forward_cached_from_inputs(
+        params["decoder"], consts_b, inputs0, cfg.hidden_dim
+    )
+    backward = explain_word_adaptive if cap.model_type == "adaptiveattention" else explain_word_gridtd
+
+    g = int(round(float(np.sqrt(cfg.img_feature_length))))
+
+    # decoder backward vmapped over (B, T) in one shot — it is tiny
+    def per_b(consts, caches, words0):
+        def dec_word(t, w0):
+            r_feat, _, _ = backward(params["decoder"], consts, caches, t, w0, T)
+            return r_feat
+
+        return jax.vmap(dec_word)(jnp.arange(T), words0)
+
+    words0_bt = jnp.maximum(caption1 - 1, 0).astype(jnp.int32)
+    caches_tb = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), caches_b)  # (B,T,...)
+    r_feat_bt = jax.vmap(per_b)(consts_b, caches_tb, words0_bt)          # (B,T,L,D)
+
+    # CNN LRP: per sample, all T words batched against one shared forward;
+    # lax.map over samples keeps peak memory ~ one image's backward.
+    def cnn_one(args):
+        image, seeds = args
+        maps = vgg_lrp_preset_a_wordbatched(
+            params["vgg"], image[None], seeds, cfg.img_encoder, cfg.layer_name
+        )  # (T,224,224,3)
+        hp = maps.mean(axis=-1)                                       # channel mean (model.py:1679)
+        hp = jax.vmap(_project)(hp)
+        return jax.vmap(lambda h: _score(h, mode))(hp)                # (T,)
+
+    seeds_bt = r_feat_bt.reshape(B, T, g, g, cfg.img_feature_dim)
+    scores = jax.lax.map(cnn_one, (images, seeds_bt))                 # (B,T)
+
+    # masks: stop words skipped; EOS and everything after it skipped
+    is_stop = stop_table[caption1]
+    is_eos = caption1 == eos_1based
+    seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) > 0       # True at and after EOS
+    valid = (~is_stop) & (~seen_eos)
+    scores = jnp.where(valid, scores, 0.0)
+
+    onehot = jax.nn.one_hot(words0_bt, V, dtype=scores.dtype)         # (B,T,V)
+    return 1.0 + onehot * scores[:, :, None]
+
+
+def dual_loss(logits, lrp_weight, y_onehot):
+    """0.5 * CE(y, logits) + 0.5 * CE(y, logits * lrp_weight)
+    (model.py:1308-1312); both heads use softmax-CE-from-logits with the
+    last timestep discarded."""
+    return 0.5 * masked_ce_from_logits(logits, y_onehot) + 0.5 * masked_ce_from_logits(
+        logits * lrp_weight, y_onehot
+    )
+
+
+def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eos_1based: int,
+                           mode: str = "mean", donate: bool = True):
+    """One jitted program: predict -> LRP weights -> dual-loss grad step."""
+    stop_t = jnp.asarray(stop_table)
+
+    def step(params, opt_state, images, captions_in, y_onehot, rng):
+        # step 1: inference-mode prediction (predict_on_batch, train.py:651)
+        y_pred = captioner.forward_train(params, images, captions_in, None)
+        # step 2+3: relevance weights, no gradient flow
+        w = jax.lax.stop_gradient(
+            lrp_weights(captioner, params, images, y_pred, stop_t, sos_1based, eos_1based, mode)
+        )
+
+        def loss(p):
+            logits = captioner.forward_train(p, images, captions_in, rng)
+            return dual_loss(logits, w, y_onehot), logits
+
+        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+
+    kw = {"donate_argnums": (0, 1)} if donate else {}
+    return jax.jit(step, **kw)
+
+
+class LRPFinetuner:
+    """TrainingLRPInference* equivalent (train.py:519-673): chunked finetune
+    loop with periodic weight saves; resumable by save_idx."""
+
+    def __init__(self, captioner, params, provider, mode: str = "mean",
+                 learning_rate: float = 1e-6, seed: int = 0):
+        from .optimizer import make_optimizer
+
+        self.captioner = captioner
+        self.params = params
+        self.provider = provider
+        pp = provider.caption_preprocessor
+        self.optimizer = make_optimizer(captioner.model_type, learning_rate)
+        self.opt_state = self.optimizer.init(params)
+        self._step = make_lrp_finetune_step(
+            captioner, self.optimizer, stop_word_table(pp),
+            pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode,
+        )
+        self._rng = jax.random.PRNGKey(seed)
+        self._T = captioner.cfg.sentence_length + 1
+
+    def run(self, save_idx: int, epoch_length: int, result_dir: str = "results/lrp-finetune"):
+        """Run ``epoch_length`` iterations, fast-forwarding the generator by
+        save_idx*epoch_length batches like the reference resume
+        (train.py:563-564), then save."""
+        from .checkpoint import save_checkpoint
+
+        gen = self.provider.training_set(pad_to_length=self._T)
+        for _ in range(save_idx * epoch_length):
+            next(gen)
+        metrics = {"loss": 0.0, "accuracy": 0.0}
+        for it in range(epoch_length):
+            (cap_in, imgs), y = next(gen)
+            self._rng, sub = jax.random.split(self._rng)
+            self.params, self.opt_state, m = self._step(
+                self.params, self.opt_state, jnp.asarray(imgs), jnp.asarray(cap_in), jnp.asarray(y), sub
+            )
+            for k in metrics:
+                metrics[k] += float(m[k])
+        metrics = {k: v / max(epoch_length, 1) for k, v in metrics.items()}
+        save_checkpoint(result_dir, save_idx, self.params, self.opt_state, metric=metrics["accuracy"])
+        return metrics

@@ -1,0 +1,196 @@
+"""Training orchestration, the equivalent of the reference ``Training``
+classes (train.py:12-400): wires config -> dataset provider -> model ->
+optimizer -> epoch loop with per-epoch caption-metric evaluation,
+plateau LR schedule, CSV logging, checkpointing, and stop conditions.
+
+Differences by design (TPU-first):
+* the inner loop is one donated jitted step (make_train_step), optionally
+  sharded over a device mesh (data-parallel; make_sharded_train_step);
+* the per-epoch greedy-decode evaluation (LogMetrics, callbacks.py:37-70)
+  uses the O(T) scan decoder instead of re-running the teacher-forcing graph
+  per word;
+* checkpoints are Orbax (params + opt state), not HDF5 weight dumps.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import timedelta
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..infer.api import BasicInference
+from ..models.captioner import build_captioner
+from .callbacks import CSVLog, ReduceLROnPlateau, StopAfterTimedelta, StopWhenValLossExploding
+from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
+from .optimizer import get_learning_rate, make_optimizer, set_learning_rate
+from .step import make_eval_step, make_sharded_train_step, make_train_step
+
+
+def parse_timedelta(s: Optional[str]) -> Optional[timedelta]:
+    """'12 hours' / '30 minutes' / '1 day' (the reference passes
+    dateutil-style strings, train.py:29)."""
+    if not s:
+        return None
+    num, unit = s.split()[0], s.split()[1].rstrip("s")
+    return timedelta(**{unit + "s": float(num)})
+
+
+class Trainer:
+    """main_attention() equivalent (train.py:676-682): pick model by type,
+    train with the reference's schedule semantics."""
+
+    def __init__(self, model_type: str, config, dataset, label: str = "run",
+                 mesh=None, seed: int = 0, eval_metrics: bool = True):
+        self.model_type = model_type
+        self.config = config
+        self.dataset = dataset
+        self.label = label
+        self.mesh = mesh
+        self._eval_metrics = eval_metrics
+
+        from ..data.provider import DatasetProvider
+
+        self.provider = DatasetProvider(dataset, config)
+        self.captioner = build_captioner(model_type, config, self.provider.vocab_size)
+        self.optimizer = make_optimizer(model_type, config.learning_rate)
+
+        key = jax.random.PRNGKey(seed)
+        self._rng, init_key = jax.random.split(key)
+        self.params = self.captioner.init_params(init_key)
+        self.opt_state = self.optimizer.init(self.params)
+
+        if mesh is not None:
+            self._train_step, place = make_sharded_train_step(
+                self.captioner, self.optimizer, mesh, params_template=self.params
+            )
+            self.params, self.opt_state = place(self.params, self.opt_state)
+        else:
+            self._train_step = make_train_step(self.captioner, self.optimizer)
+        self._eval_step = make_eval_step(self.captioner)
+
+        self.result_dir = os.path.join(
+            "results", dataset.dataset_name if hasattr(dataset, "dataset_name") else config.dataset_name,
+            "training-results", label,
+        )
+        os.makedirs(self.result_dir, exist_ok=True)
+
+    # -- weights -----------------------------------------------------------
+
+    def load_weights(self, path: str):
+        from .checkpoint import load_params_npz
+
+        if path.endswith(".npz"):
+            self.params = load_params_npz(path)
+        else:
+            self.params, opt = restore_checkpoint(path, self.params, self.opt_state)
+            if opt is not None:
+                self.opt_state = opt
+        return self
+
+    def resume_latest(self) -> bool:
+        ckpt = latest_checkpoint(self.result_dir)
+        if ckpt is None:
+            return False
+        self.load_weights(ckpt)
+        return True
+
+    # -- loop --------------------------------------------------------------
+
+    def _epoch(self, generator, steps: int, training: bool):
+        tot = {"loss": 0.0, "accuracy": 0.0}
+        for _ in range(steps):
+            (cap_in, imgs), y = next(generator)
+            imgs = jnp.asarray(imgs)
+            cap_in = jnp.asarray(cap_in)
+            y = jnp.asarray(y)
+            if training:
+                self._rng, sub = jax.random.split(self._rng)
+                self.params, self.opt_state, m = self._train_step(
+                    self.params, self.opt_state, imgs, cap_in, y, sub
+                )
+            else:
+                m = self._eval_step(self.params, imgs, cap_in, y)
+            for k in tot:
+                tot[k] += float(m[k])
+        return {k: v / max(steps, 1) for k, v in tot.items()}
+
+    def run(self, epochs: Optional[int] = None, time_limit: Optional[str] = None,
+            steps_per_epoch: Optional[int] = None, log_prefix: str = "") -> list[dict]:
+        """Train; returns the per-epoch logs list. Either epochs or the
+        config/time-limit must bound the run (train.py:46-48)."""
+        cfg = self.config
+        epochs = epochs if epochs is not None else cfg.epochs
+        tl = parse_timedelta(time_limit or cfg.time_limit)
+        if epochs is None and tl is None:
+            raise ValueError("need epochs or time_limit (reference enforces XOR, train.py:46-48)")
+
+        T = cfg.sentence_length + 1  # provider pads captions to T+1 (SOS..EOS)
+        train_gen = self.provider.training_set(pad_to_length=T)
+        val_gen = self.provider.validation_set(pad_to_length=T)
+        csv_log = CSVLog(os.path.join(self.result_dir, "metrics-log.csv"))
+        plateau = ReduceLROnPlateau(
+            monitor="val_cider", factor=cfg.reduce_lr_factor, patience=cfg.reduce_lr_patience
+        )
+        time_stop = StopAfterTimedelta(tl)
+        explode_stop = StopWhenValLossExploding()
+
+        history = []
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            ts_start = time.time()
+            steps = steps_per_epoch or self.provider.training_steps
+            logs = self._epoch(train_gen, steps, training=True)
+            val = self._epoch(val_gen, self.provider.validation_steps, training=False)
+            logs.update({f"val_{k}": v for k, v in val.items()})
+
+            if self._eval_metrics:
+                # LogMetrics: full caption-metric eval on the test split each
+                # epoch; these drive the LR schedule + ckpt names
+                # (callbacks.py:37-70, train.py:276-277)
+                inference = BasicInference(
+                    self.captioner, self.params, self.provider,
+                    max_caption_length=cfg.sentence_length,
+                )
+                metrics = inference.evaluate_test_set()
+                logs.update({f"val_{k.lower()}": v for k, v in metrics.items()})
+
+            lr = get_learning_rate(self.opt_state)
+            new_lr = plateau.update(logs, lr)
+            if new_lr != lr:
+                self.opt_state = set_learning_rate(self.opt_state, new_lr)
+            logs["learning_rate"] = new_lr
+            logs["ts_start"], logs["ts_end"] = ts_start, time.time()
+
+            save_checkpoint(
+                self.result_dir, epoch, self.params, self.opt_state,
+                metric=logs.get("val_cider"),
+            )
+            csv_log.on_epoch_end(epoch, logs)
+            history.append(logs)
+            print(f"{log_prefix}epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in logs.items() if isinstance(v, float)))
+
+            epoch += 1
+            if time_stop.should_stop() or explode_stop.should_stop(logs.get("val_loss")):
+                break
+        csv_log.close()
+        cfg.save_yaml(os.path.join(self.result_dir, "config.yaml"))
+        return history
+
+
+MODELTYPE = ("adaptiveattention", "gridTD")
+
+
+def main_attention(config, dataset, label: str, model_type: str, weights: str | None = None, **run_kw):
+    """Reference entry point parity (train.py:679-682)."""
+    if model_type not in MODELTYPE:
+        raise ValueError(f"model_type must be one of {MODELTYPE}")
+    t = Trainer(model_type, config, dataset, label)
+    if weights:
+        t.load_weights(weights)
+    t.run(**run_kw)
+    return t

@@ -1,0 +1,70 @@
+"""Explanation engine tests on tiny models: API surface, shapes, finiteness,
+and LRP-vs-gradient method dispatch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lrp_imagecaptioning_tpu.config import FlickrConfig
+from lrp_imagecaptioning_tpu.explain.engine import Explainer
+from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+CFG = FlickrConfig(
+    embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
+    sentence_length=5, drop_rate=0.0,
+)
+VOCAB = 16
+
+
+class FakePP:
+    """Minimal caption-preprocessor surface the engine needs."""
+
+    SOS_TOKEN = "szeros"
+    EOS_TOKEN = "zeros"
+    SOS_TOKEN_LABEL_ENCODED = 1
+    EOS_TOKEN_LABEL_ENCODED = 2
+    word_of = {i: (f"w{i}" if i > 2 else ("szeros" if i == 1 else "zeros")) for i in range(1, VOCAB + 1)}
+    word_of[1] = "szeros"
+    word_of[2] = "zeros"
+
+
+@pytest.mark.parametrize("model_type", ["adaptiveattention", "gridTD"])
+@pytest.mark.parametrize("method", ["lrp", "gradient"])
+def test_explainer_analyze_shapes(model_type, method, rng):
+    cap = build_captioner(model_type, CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method=method)
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    result = ex.analyze(image)
+    W = len(result.words)
+    assert result.relevance_maps.shape == (W, 32, 32, 3)
+    assert result.feat_relevance.shape == (W, CFG.img_feature_length, CFG.img_feature_dim)
+    assert result.attentions.shape == (W, CFG.img_feature_length)
+    assert np.isfinite(result.relevance_maps).all()
+    assert result.caption.endswith("zeros") or W == CFG.sentence_length
+
+
+def test_explainer_with_given_tokens(rng):
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method="lrp")
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    tokens = np.array([5, 7, 2, 0, 0], np.int32)  # two words then EOS
+    result = ex.analyze(image, tokens_1based=tokens)
+    assert result.words == ["w5", "w7"]
+    assert result.relevance_maps.shape[0] == 2
+
+
+def test_lrp_decoder_relevance_concentrates_on_inputs(rng):
+    """Linguistic relevances are normalized to max |r| = 1 over steps
+    (explainers.py:660-665)."""
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method="lrp")
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    tokens = np.array([5, 7, 9, 2, 0], np.int32)
+    result = ex.analyze(image, tokens_1based=tokens)
+    assert result.word_relevances.shape == (3, CFG.sentence_length)
+    m = np.abs(result.word_relevances).max(axis=1)
+    np.testing.assert_allclose(m, 1.0, rtol=1e-4)

@@ -55,16 +55,22 @@ def test_lrp_identity(rng):
 
 
 def test_conv_epsilon_conservation(rng):
-    x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
-    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4)).astype(np.float32) * 0.1)
-    z = conv2d(x, k)
-    r = z  # seed with the full output as relevance
-    eps = 1e-6
-    rel = lrp_conv_epsilon(r, x, k, bias=None, eps=eps)
-    # exact conservation target: sum_k r_k * z_k / stab(z_k)
-    stab = np.asarray(z) + np.where(np.asarray(z) >= 0, eps, -eps)
-    expected = float((np.asarray(r) * np.asarray(z) / stab).sum())
-    np.testing.assert_allclose(float(rel.sum()), expected, rtol=1e-3)
+    """Exact conservation needs f64 — the mixed-sign sums cancel to a value
+    ~100x smaller than the term magnitudes, so fp32 wobbles at ~0.5%."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        x = jnp.asarray(rng.normal(size=(1, 8, 8, 3)))
+        k = jnp.asarray(rng.normal(size=(3, 3, 3, 4)) * 0.1)
+        z = conv2d(x, k)
+        r = z  # seed with the full output as relevance
+        eps = 1e-6
+        rel = lrp_conv_epsilon(r, x, k, bias=None, eps=eps)
+        # exact conservation target: sum_k r_k * z_k / stab(z_k)
+        stab = np.asarray(z) + np.where(np.asarray(z) >= 0, eps, -eps)
+        expected = float((np.asarray(r) * np.asarray(z) / stab).sum())
+        np.testing.assert_allclose(float(rel.sum()), expected, rtol=1e-8)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_conv_alpha1beta0_positive_and_conserving_for_positive_net(rng):

@@ -1,0 +1,80 @@
+"""Caption-metric sanity tests (perfect-match and known-value cases)."""
+
+import math
+
+from lrp_imagecaptioning_tpu.evalx.metrics import BLEU, CIDEr, METEOR, ROUGE
+from lrp_imagecaptioning_tpu.evalx.words import frequent_object_map
+
+
+def _wrap(pred, refs):
+    id_to_pred = {"img1": [{"caption": pred}]}
+    id_to_refs = {"img1": [{"caption": r} for r in refs]}
+    return id_to_pred, id_to_refs
+
+
+def test_bleu_perfect_match():
+    p, r = _wrap("a dog runs fast", ["a dog runs fast"])
+    out = BLEU(4).calculate(p, r)
+    for n in range(1, 5):
+        assert abs(out[f"Bleu_{n}"] - 1.0) < 1e-6
+
+
+def test_bleu_no_overlap():
+    p, r = _wrap("x y z w", ["a b c d"])
+    out = BLEU(4).calculate(p, r)
+    assert out["Bleu_1"] < 1e-3
+
+
+def test_bleu_partial():
+    p, r = _wrap("a dog", ["a dog runs"])
+    out = BLEU(1).calculate(p, r)
+    # brevity penalty exp(1 - 3/2), precision 1
+    assert abs(out["Bleu_1"] - math.exp(1 - 3 / 2)) < 1e-6
+
+
+def test_rouge_perfect_and_partial():
+    p, r = _wrap("a dog runs", ["a dog runs"])
+    assert abs(ROUGE().calculate(p, r)["ROUGE_L"] - 1.0) < 1e-9
+    p, r = _wrap("a cat", ["a dog"])
+    out = ROUGE().calculate(p, r)["ROUGE_L"]
+    assert 0 < out < 1  # lcs=1 of 2
+
+
+def test_meteor_perfect():
+    p, r = _wrap("a dog runs", ["a dog runs"])
+    out = METEOR().calculate(p, r)["METEOR"]
+    # single chunk penalty: 1 - 0.5*(1/3)^3
+    assert abs(out - (1 - 0.5 * (1 / 3) ** 3)) < 1e-6
+
+
+def test_cider_identical_corpus():
+    preds = {f"i{k}": [{"caption": f"a dog runs fast {k}"}] for k in range(4)}
+    refs = {f"i{k}": [{"caption": f"a dog runs fast {k}"}] for k in range(4)}
+    out = CIDEr().calculate(preds, refs)["CIDEr"]
+    assert out > 5.0  # perfect match scores near 10 (x10 scaling)
+
+
+def test_frequent_object_map():
+    preds = {"a": "a man with a dog", "b": "a woman on a street"}
+    refs = {
+        "a": ["the man walks the dog", "a man and his dog"],
+        "b": ["a man crosses the street", "the street is busy"],
+    }
+    cats = ["man", "dog", "street"]
+    # man: in refs of a and b (count 2), predicted only in a -> 0.5
+    # dog: refs a only, predicted in a -> 1.0 ; street: refs b, predicted b -> 1.0
+    v = frequent_object_map(preds, refs, cats)
+    assert abs(v - (0.5 + 1.0 + 1.0) / 2 * 100) < 1e-9
+
+
+def test_bbox_correctness():
+    import numpy as np
+
+    from lrp_imagecaptioning_tpu.evalx.bbox import correctness
+
+    rel = np.zeros((10, 10))
+    rel[2:4, 2:4] = 1.0   # mass inside box
+    rel[8, 8] = 1.0       # mass outside
+    box = [2, 2, 4, 4]    # xmin ymin xmax ymax
+    assert abs(correctness(box, rel, 0.0) - 4 / 5) < 1e-9
+    assert correctness(box, np.zeros((10, 10)), 0.0) == 0.0

@@ -1,0 +1,181 @@
+"""Training-stack tests: single-chip step, mesh-sharded step, LR plateau,
+checkpoint round-trip, LRP-inference finetune step. Tiny shapes (32x32 images
+-> 2x2 VGG grid) keep CPU compile time low."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lrp_imagecaptioning_tpu.config import FlickrConfig
+from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+from lrp_imagecaptioning_tpu.parallel import make_mesh, shard_batch
+from lrp_imagecaptioning_tpu.train.optimizer import (
+    get_learning_rate,
+    make_optimizer,
+    set_learning_rate,
+)
+from lrp_imagecaptioning_tpu.train.callbacks import ReduceLROnPlateau
+from lrp_imagecaptioning_tpu.train.step import make_sharded_train_step, make_train_step
+
+CFG = FlickrConfig(
+    embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
+    sentence_length=6, batch_size=4, drop_rate=0.0,
+)
+VOCAB = 32
+
+
+def _batch(rng, B=4, T=7):
+    images = jnp.asarray(rng.normal(size=(B, 32, 32, 3)).astype(np.float32))
+    caps = jnp.asarray(rng.integers(0, VOCAB, size=(B, T)).astype(np.int32))
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, VOCAB, size=(B, T))), VOCAB)
+    return images, caps, y
+
+
+@pytest.mark.parametrize("model_type", ["adaptiveattention", "gridTD"])
+def test_train_step_reduces_loss(model_type, rng):
+    cap = build_captioner(model_type, CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(model_type, 1e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(cap, opt, donate=False)
+    images, caps, y = _batch(rng)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(6):
+        params, opt_state, m = step(params, opt_state, images, caps, y, key)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_train_step_runs_on_mesh(rng):
+    mesh = make_mesh(8, model_parallel=2)
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-3)
+    opt_state = opt.init(params)
+    step, place = make_sharded_train_step(cap, opt, mesh, shard_vocab=True,
+                                          params_template=params, donate=False)
+    params, opt_state = place(params, opt_state)
+    images, caps, y = _batch(rng, B=8)
+    images, caps, y = shard_batch(mesh, images, caps, y)
+    params, opt_state, m = step(params, opt_state, images, caps, y, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_lr_plateau_and_injection():
+    opt = make_optimizer("adaptiveattention", 1e-3)
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt_state = opt.init(params)
+    assert get_learning_rate(opt_state) == pytest.approx(1e-3)
+    plateau = ReduceLROnPlateau(monitor="val_cider", factor=0.5, patience=2)
+    lr = 1e-3
+    lr = plateau.update({"val_cider": 0.5}, lr)   # improves -> keep
+    lr = plateau.update({"val_cider": 0.4}, lr)   # wait 1
+    lr = plateau.update({"val_cider": 0.4}, lr)   # wait 2 -> reduce
+    assert lr == pytest.approx(5e-4)
+    opt_state = set_learning_rate(opt_state, lr)
+    assert get_learning_rate(opt_state) == pytest.approx(5e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from lrp_imagecaptioning_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+    cap = build_captioner("gridTD", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(3))
+    p = str(tmp_path / "w.npz")
+    save_params_npz(p, params)
+    restored = load_params_npz(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored,
+    )
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from lrp_imagecaptioning_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(4))
+    opt = make_optimizer("adaptiveattention", 1e-3)
+    opt_state = opt.init(params)
+    d = str(tmp_path / "ckpts")
+    save_checkpoint(d, 0, params, opt_state, metric=0.1)
+    save_checkpoint(d, 3, params, opt_state, metric=0.3)
+    latest = latest_checkpoint(d)
+    assert latest.endswith("ckpt_03_0.3000")
+    p2, o2 = restore_checkpoint(latest, params, opt_state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, p2,
+    )
+    assert o2 is not None
+
+
+def test_stop_word_table():
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import stop_word_table
+
+    class PP:
+        vocab_size = 4
+        word_of = {1: "dog", 2: "the", 3: "szeros", 4: "zeros"}
+
+    table = stop_word_table(PP())
+    assert table.tolist() == [False, False, True, False, False]
+
+
+@pytest.mark.parametrize("model_type", ["adaptiveattention", "gridTD"])
+def test_lrp_finetune_step(model_type, rng):
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import make_lrp_finetune_step
+
+    cap = build_captioner(model_type, CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer(model_type, 1e-5)
+    opt_state = opt.init(params)
+    stop_table = np.zeros(VOCAB + 1, bool)
+    stop_table[5] = True  # pretend token 5 is a stop word
+    step = make_lrp_finetune_step(cap, opt, stop_table, sos_1based=1, eos_1based=2, donate=False)
+    images, caps, y = _batch(rng)
+    params2, _, m = step(params, opt_state, images, caps, y, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m["loss"]))
+    # params must have moved
+    moved = jax.tree.reduce(
+        lambda acc, x: acc or bool(x),
+        jax.tree.map(lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))), params, params2),
+        False,
+    )
+    assert moved
+
+
+def test_lrp_weights_semantics(rng):
+    """Weights are 1 everywhere except the predicted-word slot of valid
+    (non-stop, pre-EOS) steps; stop words skipped, EOS and after zeroed."""
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import lrp_weights
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    B, T = 2, 5
+    images = jnp.asarray(rng.normal(size=(B, 32, 32, 3)).astype(np.float32))
+    # craft logits with known argmax: sample 0: [3, 5, 2(EOS), 7, 8]
+    caption0 = np.array([[3, 5, 2, 7, 8], [4, 6, 9, 10, 2]]) - 1  # 0-based
+    logits = np.zeros((B, T, VOCAB), np.float32)
+    for b in range(B):
+        for t in range(T):
+            logits[b, t, caption0[b, t]] = 5.0
+    stop_table = np.zeros(VOCAB + 1, bool)
+    stop_table[5] = True
+    w = np.asarray(lrp_weights(cap, params, images, jnp.asarray(logits), jnp.asarray(stop_table),
+                               sos_1based=1, eos_1based=2))
+    assert w.shape == (B, T, VOCAB)
+    # sample 0: t=0 explained (token 3); t=1 stop word -> 1; t>=2 EOS/after -> 1
+    assert w[0, 1].tolist() == [1.0] * VOCAB
+    assert (w[0, 2:] == 1.0).all()
+    # the explained slot differs from 1 (score can be any sign but nonzero a.s.)
+    assert w[0, 0, caption0[0, 0]] != 1.0
+    off = np.delete(w[0, 0], caption0[0, 0])
+    assert (off == 1.0).all()
