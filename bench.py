@@ -35,6 +35,12 @@ T = 20
 
 
 def build():
+    """Three jitted stages (caption / decoder-LRP / CNN-LRP).
+
+    One fused program is semantically identical but costs minutes of XLA
+    compile through the remote-compile path; splitting keeps per-program
+    compile ~10-20s with no steady-state cost (stage outputs stay on device).
+    """
     from lrp_imagecaptioning_tpu.config import FlickrConfig
     from lrp_imagecaptioning_tpu.explain.cnn_lrp import vgg_lrp_preset_a_wordbatched
     from lrp_imagecaptioning_tpu.explain.decoder_lrp import explain_word_adaptive
@@ -46,10 +52,14 @@ def build():
     params = cap.init_params(jax.random.PRNGKey(0))
     sos, eos = 1, 2  # token ids are arbitrary for throughput
 
-    def caption_and_explain(params, images):
+    @jax.jit
+    def stage_caption(params, images):
         feat_grid = cap.encode(params, images)                     # (B,L,D)
         tokens, _ = beam_search(cap, params, feat_grid, sos, eos, BEAM, T)
+        return feat_grid, tokens
 
+    @jax.jit
+    def stage_decoder_lrp(params, feat_grid, tokens):
         consts_b = cap.prepare_consts(params, feat_grid)
         prev = jnp.concatenate(
             [jnp.full((BATCH, 1), sos, jnp.int32), tokens[:, :-1].astype(jnp.int32)], axis=1
@@ -68,8 +78,10 @@ def build():
             return jax.vmap(one)(jnp.arange(T), w0)
 
         caches_bt = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), caches_b)
-        r_feat = jax.vmap(per_b)(consts_b, caches_bt, words0)      # (B,T,L,D)
+        return jax.vmap(per_b)(consts_b, caches_bt, words0)        # (B,T,L,D)
 
+    @jax.jit
+    def stage_cnn_lrp(params, images, r_feat):
         def cnn_one(args):
             image, seeds = args
             return vgg_lrp_preset_a_wordbatched(
@@ -77,27 +89,43 @@ def build():
             )
 
         seeds = r_feat.reshape(BATCH, T, 14, 14, cfg.img_feature_dim)
-        heatmaps = jax.lax.map(cnn_one, (images, seeds))           # (B,T,224,224,3)
+        return jax.lax.map(cnn_one, (images, seeds))               # (B,T,224,224,3)
+
+    def caption_and_explain(params, images):
+        feat_grid, tokens = stage_caption(params, images)
+        r_feat = stage_decoder_lrp(params, feat_grid, tokens)
+        heatmaps = stage_cnn_lrp(params, images, r_feat)
         return tokens, heatmaps
 
-    fn = jax.jit(caption_and_explain)
-    return fn, params
+    return caption_and_explain, params
 
 
 def main():
+    # persistent compile cache: the caption+explain program is large and the
+    # first compile dominates; later runs (e.g. the driver's) reuse it.
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     fn, params = build()
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
 
-    # compile + warmup
+    # compile + warmup; reduce on device and materialize on host so async
+    # dispatch cannot under-report (checksum forces the full pipeline)
     tokens, heatmaps = fn(params, images)
-    jax.block_until_ready(heatmaps)
+    _ = np.asarray(heatmaps.sum()), np.asarray(tokens)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         tokens, heatmaps = fn(params, images)
-    jax.block_until_ready(heatmaps)
+        _ = np.asarray(heatmaps.sum())
     dt = time.perf_counter() - t0
 
     n_chips = 1  # bench runs single-chip

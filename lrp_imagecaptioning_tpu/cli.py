@@ -46,7 +46,7 @@ def _add_common(p):
     p.add_argument("--dataset", default="flickr30k",
                    choices=["flickr30k", "coco", "coco2014", "synthetic"])
     p.add_argument("--model", dest="model_type", default="adaptiveattention",
-                   choices=["adaptiveattention", "gridTD"])
+                   choices=["adaptiveattention", "gridTD", "aoa"])
     p.add_argument("--weights", default=None, help=".npz / orbax dir / reference .hdf5")
     p.add_argument("--batch-size", type=int, dest="batch_size", default=None)
 

@@ -57,6 +57,10 @@ class Explanation:
 
 
 def _decoder_backward_fn(model_type: str, method: str):
+    if model_type == "aoa":
+        from .aoa_backward import explain_word_aoa, grad_word_aoa
+
+        return explain_word_aoa if method == "lrp" else grad_word_aoa
     if method == "lrp":
         return explain_word_adaptive if model_type == "adaptiveattention" else explain_word_gridtd
     return grad_word_adaptive if model_type == "adaptiveattention" else grad_word_gridtd
@@ -156,7 +160,10 @@ class Explainer:
                 return guided * cam[:, :, None]
 
             maps = jax.vmap(one_ggc)(seeds)
-        betas = caches.beta[:, 0]                            # (T,)
+        if hasattr(caches, "beta"):
+            betas = caches.beta[:, 0]                        # (T,) sentinel gate
+        else:  # AOA has no visual sentinel
+            betas = jnp.zeros((T,), maps.dtype)
         return maps, r_feat, r_words, atts, betas
 
     # -- public API --------------------------------------------------------

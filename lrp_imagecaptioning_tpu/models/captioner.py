@@ -20,7 +20,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from . import adaptive, gridtd, vgg
+from . import adaptive, aoa, gridtd, vgg
 
 
 def masked_ce_from_logits(logits, y_onehot):
@@ -104,9 +104,13 @@ class Captioner:
 
 
 def build_captioner(model_type: str, cfg, vocab_size: int) -> Captioner:
-    """MODELTYPE registry equivalent (train.py:676-682)."""
+    """MODELTYPE registry equivalent (train.py:676-682). 'AOA' maps to the
+    working reimplementation of the reference's commented-out model
+    (model.py:828-1250; see models/aoa.py)."""
     if model_type == "adaptiveattention":
         return Captioner(model_type, cfg, vocab_size, adaptive)
     if model_type == "gridTD":
         return Captioner(model_type, cfg, vocab_size, gridtd)
-    raise ValueError(f"unknown model type {model_type!r} (choose adaptiveattention|gridTD)")
+    if model_type in ("AOA", "aoa"):
+        return Captioner("aoa", cfg, vocab_size, aoa)
+    raise ValueError(f"unknown model type {model_type!r} (choose adaptiveattention|gridTD|aoa)")

@@ -182,7 +182,7 @@ class Trainer:
         return history
 
 
-MODELTYPE = ("adaptiveattention", "gridTD")
+MODELTYPE = ("adaptiveattention", "gridTD", "aoa")
 
 
 def main_attention(config, dataset, label: str, model_type: str, weights: str | None = None, **run_kw):
