@@ -49,7 +49,11 @@ def build():
 
     cfg = FlickrConfig()
     cap = build_captioner("adaptiveattention", cfg, VOCAB)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    # init on the host CPU backend: eager init dispatches hundreds of tiny
+    # ops, and on a remote-compile TPU backend each costs a ~1s round trip
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = cap.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
     sos, eos = 1, 2  # token ids are arbitrary for throughput
 
     @jax.jit
@@ -101,16 +105,14 @@ def build():
 
 
 def main():
-    # persistent compile cache: the caption+explain program is large and the
-    # first compile dominates; later runs (e.g. the driver's) reuse it.
+    # optional persistent compile cache (opt-in: it can stall under
+    # remote-compile PJRT backends)
     import os
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
+    if os.environ.get("LRPIC_JAX_CACHE"):
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     fn, params = build()
     rng = np.random.default_rng(0)

@@ -118,6 +118,17 @@ def lrp_conv_alpha_beta(
 
 
 def maxpool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    """Max pool, NHWC.
+
+    For the non-overlapping case (window == stride, dims divisible — every
+    VGG pool) this is a reshape + reduce-max: its autodiff VJP is an
+    elementwise tie-splitting mask, whereas ``reduce_window``'s VJP lowers to
+    ``select_and_scatter``, which executes catastrophically slowly on TPU
+    (~100x; measured on v5e). Falls back to reduce_window otherwise."""
+    B, H, W, C = x.shape
+    if window == stride and H % window == 0 and W % window == 0:
+        xr = x.reshape(B, H // window, window, W // window, window, C)
+        return xr.max(axis=(2, 4))
     return jax.lax.reduce_window(
         x,
         -jnp.inf,
@@ -130,13 +141,18 @@ def maxpool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
 
 def lrp_maxpool_wta(r: jnp.ndarray, x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
     """Winner-take-all relevance redistribution = gradient of max-pool with
-    cotangent r (the LRP default for MaxPooling, relevance_analyzer.py:472)."""
+    cotangent r (the LRP default for MaxPooling, relevance_analyzer.py:472).
+    Ties split the relevance equally (jax reduce-max VJP semantics)."""
     _, vjp = jax.vjp(partial(maxpool2d, window=window, stride=stride), x)
     (dx,) = vjp(r)
     return dx
 
 
 def avgpool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
+    B, H, W, C = x.shape
+    if window == stride and H % window == 0 and W % window == 0:
+        xr = x.reshape(B, H // window, window, W // window, window, C)
+        return xr.mean(axis=(2, 4))
     summed = jax.lax.reduce_window(
         x,
         0.0,
