@@ -73,6 +73,65 @@ def vgg_guided_backprop(params, image, relevance_seed, arch="vgg16", until="bloc
     return grad
 
 
+@jax.custom_vjp
+def _deconv_relu(x):
+    return jax.nn.relu(x)
+
+
+def _deconv_relu_fwd(x):
+    return jax.nn.relu(x), None
+
+
+def _deconv_relu_bwd(_, g):
+    # deconvnet: relu applied to the BACKPROPAGATED signal only, ignoring the
+    # forward input sign (gradient_based.py:171-216)
+    return (jnp.maximum(g, 0.0),)
+
+
+_deconv_relu.defvjp(_deconv_relu_fwd, _deconv_relu_bwd)
+
+
+def vgg_deconvnet(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
+    """Deconvnet analyzer: relu on the backward signal (gradient_based.py:171-216)."""
+    def f(img):
+        return _vgg_forward(params, img, arch, until, _deconv_relu)
+
+    _, vjp = jax.vjp(f, image)
+    (grad,) = vjp(relevance_seed)
+    return grad
+
+
+def vgg_integrated_gradients(params, image, relevance_seed, arch="vgg16", until="block5_conv3",
+                             steps: int = 16, baseline=None):
+    """IntegratedGradients (gradient_based.py:269-299 via PathIntegrator,
+    wrapper.py): mean gradient along the straight path from baseline to the
+    image, times (image - baseline)."""
+    if baseline is None:
+        baseline = jnp.zeros_like(image)
+
+    def grad_at(alpha):
+        point = baseline + alpha * (image - baseline)
+        return vgg_gradient(params, point, relevance_seed, arch, until)
+
+    alphas = (jnp.arange(steps, dtype=image.dtype) + 0.5) / steps
+    grads = jax.lax.map(grad_at, alphas)          # (steps, ...) sequential: bounds memory
+    return grads.mean(axis=0) * (image - baseline)
+
+
+def vgg_smoothgrad(params, image, relevance_seed, rng_key, arch="vgg16", until="block5_conv3",
+                   n: int = 16, noise_scale: float = 16.0):
+    """SmoothGrad (gradient_based.py:302-319 via GaussianSmoother): gradient
+    averaged over Gaussian-perturbed inputs; noise_scale in input units
+    (the reference uses a fraction of the 255 input range)."""
+    keys = jax.random.split(rng_key, n)
+
+    def grad_at(key):
+        noisy = image + noise_scale * jax.random.normal(key, image.shape, image.dtype)
+        return vgg_gradient(params, noisy, relevance_seed, arch, until)
+
+    return jax.lax.map(grad_at, keys).mean(axis=0)
+
+
 def pyramid_expand(img: jnp.ndarray, upscale: int = 16, sigma: float = 20.0) -> jnp.ndarray:
     """skimage.transform.pyramid_expand replacement (skimage is unavailable):
     bilinear upsample x``upscale`` followed by a gaussian blur of the given

@@ -71,6 +71,47 @@ def vgg_lrp_epsilon(params, image, relevance_seed, arch="vgg16", until="block5_c
     return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
 
 
+def vgg_lrp_preset_a_flat(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
+    """LRPSequentialPresetAFlat: PresetA with the FlatRule on the input layer
+    (relevance_analyzer.py:755-762)."""
+    from ..ops.lrp_conv import lrp_conv_flat
+
+    ops = vgg_layers(arch, until)
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    r = relevance_seed
+    for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
+        is_input_layer = idx == len(ops) - 1
+        if op[0] == "conv":
+            p = params[op[1]]
+            if is_input_layer:
+                r = lrp_conv_flat(r, x, p["kernel"])
+            else:
+                r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=1.0, beta=0.0)
+        else:
+            r = lrp_maxpool_wta(r, x)
+    return r
+
+
+def vgg_lrp_preset_b_flat(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
+    """LRPSequentialPresetBFlat (relevance_analyzer.py:765-770)."""
+    from ..ops.lrp_conv import lrp_conv_flat
+
+    ops = vgg_layers(arch, until)
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    r = relevance_seed
+    for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
+        is_input_layer = idx == len(ops) - 1
+        if op[0] == "conv":
+            p = params[op[1]]
+            if is_input_layer:
+                r = lrp_conv_flat(r, x, p["kernel"])
+            else:
+                r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=2.0, beta=1.0)
+        else:
+            r = lrp_maxpool_wta(r, x)
+    return r
+
+
 def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", until="block5_conv3"):
     """Per-word LRP with the forward pass shared across words.
 

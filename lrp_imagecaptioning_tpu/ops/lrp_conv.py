@@ -117,6 +117,53 @@ def lrp_conv_alpha_beta(
     return alpha * activator if alpha != 1.0 else activator
 
 
+def lrp_conv_wsquare(r: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
+                     stride: int = 1, padding: str = "SAME", factor: float = EPS_KERAS) -> jnp.ndarray:
+    """WSquareRule (relevance_rule.py:156-183): weights squared, input ones —
+    relevance redistributes by squared-weight share, input-independent."""
+    k2 = kernel * kernel
+    ones = jnp.ones_like(x)
+    z = conv2d(ones, k2, stride, padding)
+    s = safe_divide(r, z, factor)
+    return conv2d_input_vjp(x.shape, k2, s, stride, padding)
+
+
+def lrp_conv_flat(r: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
+                  stride: int = 1, padding: str = "SAME", factor: float = EPS_KERAS) -> jnp.ndarray:
+    """FlatRule (relevance_rule.py:186-211): all weights one — relevance
+    spreads uniformly over the receptive field (WSquare with ones kernel)."""
+    k1 = jnp.ones_like(kernel)
+    ones = jnp.ones_like(x)
+    z = conv2d(ones, k1, stride, padding)
+    s = safe_divide(r, z, factor)
+    return conv2d_input_vjp(x.shape, k1, s, stride, padding)
+
+
+def lrp_conv_zplus(r: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
+                   bias: jnp.ndarray | None = None, stride: int = 1, padding: str = "SAME") -> jnp.ndarray:
+    """ZPlusRule == AlphaBetaRule(alpha=1, beta=0) (relevance_rule.py:445-462)."""
+    return lrp_conv_alpha_beta(r, x, kernel, bias, alpha=1.0, beta=0.0, stride=stride, padding=padding)
+
+
+def lrp_conv_bounded(r: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
+                     low: float, high: float, stride: int = 1, padding: str = "SAME",
+                     factor: float = EPS_KERAS) -> jnp.ndarray:
+    """BoundedRule / zB input-layer rule (relevance_rule.py:372-441):
+    z = conv(x,W) - conv(lo,W+) - conv(hi,W-); rel = x*c - lo*c+ - hi*c-
+    with c = conv^T(r/z, .). ``low``/``high`` are the input value bounds
+    (e.g. the mean-subtracted pixel range)."""
+    kp = kernel * (kernel >= 0)
+    kn = kernel * (kernel < 0)
+    lo = jnp.full_like(x, low)
+    hi = jnp.full_like(x, high)
+    z = conv2d(x, kernel, stride, padding) - conv2d(lo, kp, stride, padding) - conv2d(hi, kn, stride, padding)
+    s = safe_divide(r, z, factor)
+    c = conv2d_input_vjp(x.shape, kernel, s, stride, padding)
+    cp = conv2d_input_vjp(x.shape, kp, s, stride, padding)
+    cn = conv2d_input_vjp(x.shape, kn, s, stride, padding)
+    return x * c - lo * cp - hi * cn
+
+
 def maxpool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
     """Max pool, NHWC.
 

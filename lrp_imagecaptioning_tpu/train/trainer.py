@@ -130,8 +130,12 @@ class Trainer:
             raise ValueError("need epochs or time_limit (reference enforces XOR, train.py:46-48)")
 
         T = cfg.sentence_length + 1  # provider pads captions to T+1 (SOS..EOS)
-        train_gen = self.provider.training_set(pad_to_length=T)
-        val_gen = self.provider.validation_set(pad_to_length=T)
+        from ..data.prefetch import prefetch
+
+        # background producer overlaps image decode with device compute
+        # (GeneratorEnqueuer equivalent, inference.py:63-92)
+        train_gen = prefetch(self.provider.training_set(pad_to_length=T))
+        val_gen = prefetch(self.provider.validation_set(pad_to_length=T))
         csv_log = CSVLog(os.path.join(self.result_dir, "metrics-log.csv"))
         plateau = ReduceLROnPlateau(
             monitor="val_cider", factor=cfg.reduce_lr_factor, patience=cfg.reduce_lr_patience
@@ -165,6 +169,10 @@ class Trainer:
                 self.opt_state = set_learning_rate(self.opt_state, new_lr)
             logs["learning_rate"] = new_lr
             logs["ts_start"], logs["ts_end"] = ts_start, time.time()
+            # host/device memory like LogMetrics' psutil dump (callbacks.py:56-67)
+            from ..utils.profiling import memory_stats
+
+            logs.update(memory_stats())
 
             save_checkpoint(
                 self.result_dir, epoch, self.params, self.opt_state,

@@ -1,0 +1,111 @@
+"""Extended analyzer tests: LRP rule variants + gradient-family analyzers."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lrp_imagecaptioning_tpu.models.vgg import init_vgg_params
+from lrp_imagecaptioning_tpu.explain.cnn_gradient import (
+    vgg_deconvnet,
+    vgg_gradient,
+    vgg_integrated_gradients,
+    vgg_smoothgrad,
+)
+from lrp_imagecaptioning_tpu.explain.cnn_lrp import (
+    vgg_lrp_preset_a_flat,
+    vgg_lrp_preset_b_flat,
+)
+from lrp_imagecaptioning_tpu.ops.lrp_conv import (
+    conv2d,
+    lrp_conv_bounded,
+    lrp_conv_flat,
+    lrp_conv_wsquare,
+    lrp_conv_zplus,
+)
+
+ARCH_KW = dict(arch="vgg16", until="block1_conv2")  # 2-conv stack: fast on CPU
+
+
+def _setup(rng, B=1, size=16):
+    params = init_vgg_params(jax.random.PRNGKey(0), "vgg16", "block1_conv2")
+    image = jnp.asarray(rng.normal(size=(B, size, size, 3)).astype(np.float32))
+    seed = jnp.asarray(rng.normal(size=(B, size, size, 64)).astype(np.float32))
+    return params, image, seed
+
+
+def test_wsquare_input_independent(rng):
+    x1 = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    out1 = lrp_conv_wsquare(r, x1, k)
+    out2 = lrp_conv_wsquare(r, x2, k)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+def test_flat_conserves_interior(rng):
+    """Flat rule spreads relevance uniformly; total is conserved."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 2, 3)).astype(np.float32))
+    r = jnp.abs(jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32)))
+    out = lrp_conv_flat(r, x, k)
+    np.testing.assert_allclose(float(out.sum()), float(r.sum()), rtol=1e-4)
+
+
+def test_zplus_equals_alpha1beta0(rng):
+    from lrp_imagecaptioning_tpu.ops.lrp_conv import lrp_conv_alpha_beta
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 2, 3)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(lrp_conv_zplus(r, x, k)),
+        np.asarray(lrp_conv_alpha_beta(r, x, k, None, 1.0, 0.0)),
+    )
+
+
+def test_bounded_conservation(rng):
+    """zB rule conserves relevance (sum over inputs == sum r * z/z)."""
+    x = jnp.asarray(rng.uniform(-1, 1, size=(1, 8, 8, 2)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 2, 3)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    out = lrp_conv_bounded(r, x, k, low=-1.0, high=1.0)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(float(out.sum()), float(r.sum()), rtol=5e-2, atol=1e-2)
+
+
+def test_deconvnet_differs_from_gradient(rng):
+    params, image, seed = _setup(rng)
+    g = vgg_gradient(params, image, seed, **ARCH_KW)
+    d = vgg_deconvnet(params, image, seed, **ARCH_KW)
+    assert g.shape == d.shape == image.shape
+    assert np.abs(np.asarray(g) - np.asarray(d)).max() > 1e-6
+
+
+def test_integrated_gradients_completeness(rng):
+    """IG's defining property: sum(IG) ~= f(x) - f(baseline) where f is the
+    seed-contracted output."""
+    params, image, seed = _setup(rng, size=8)
+    from lrp_imagecaptioning_tpu.explain.cnn_gradient import _vgg_forward
+
+    def f(img):
+        return (_vgg_forward(params, img, ARCH_KW["arch"], ARCH_KW["until"], jax.nn.relu) * seed).sum()
+
+    ig = vgg_integrated_gradients(params, image, seed, steps=64, **ARCH_KW)
+    target = float(f(image) - f(jnp.zeros_like(image)))
+    np.testing.assert_allclose(float(ig.sum()), target, rtol=0.05, atol=0.5)
+
+
+def test_smoothgrad_converges_to_gradient_at_zero_noise(rng):
+    params, image, seed = _setup(rng, size=8)
+    g = vgg_gradient(params, image, seed, **ARCH_KW)
+    sg = vgg_smoothgrad(params, image, seed, jax.random.PRNGKey(0), n=4, noise_scale=0.0, **ARCH_KW)
+    np.testing.assert_allclose(np.asarray(sg), np.asarray(g), rtol=1e-5, atol=1e-5)
+
+
+def test_flat_input_presets_run(rng):
+    params, image, seed = _setup(rng, size=8)
+    a = vgg_lrp_preset_a_flat(params, image, seed, **ARCH_KW)
+    b = vgg_lrp_preset_b_flat(params, image, seed, **ARCH_KW)
+    assert a.shape == b.shape == image.shape
+    assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
