@@ -131,7 +131,10 @@ class Explainer:
 
         r_feat, r_words, atts = jax.vmap(one)(jnp.arange(T), words0)  # (T,L,D), (T,T), (T,L)
 
-        # linguistic relevance normalization (explainers.py:660-665)
+        # linguistic relevance: SOS slot zeroed, then max-|.| normalization
+        # (explainers.py:660-665; the reference also drops the SOS column —
+        # we keep the full T for alignment and leave dropping to callers)
+        r_words = r_words.at[:, 0].set(0.0)
         r_words = r_words / (jnp.max(jnp.abs(r_words), axis=-1, keepdims=True) + 1e-12)
 
         # CNN backward, word-batched; seeds (T, 14, 14, 512)
