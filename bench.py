@@ -47,6 +47,10 @@ def build():
     from lrp_imagecaptioning_tpu.infer.beam import beam_search
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
+    import os
+
+    bf16 = jnp.bfloat16 if os.environ.get("LRPIC_BENCH_F32") != "1" else None
+
     cfg = FlickrConfig()
     cap = build_captioner("adaptiveattention", cfg, VOCAB)
     # init on the host CPU backend: eager init dispatches hundreds of tiny
@@ -58,7 +62,7 @@ def build():
 
     @jax.jit
     def stage_caption(params, images):
-        feat_grid = cap.encode(params, images)                     # (B,L,D)
+        feat_grid = cap.encode(params, images, compute_dtype=bf16)  # (B,L,D)
         tokens, _ = beam_search(cap, params, feat_grid, sos, eos, BEAM, T)
         return feat_grid, tokens
 
@@ -89,7 +93,8 @@ def build():
         def cnn_one(args):
             image, seeds = args
             return vgg_lrp_preset_a_wordbatched(
-                params["vgg"], image[None], seeds, cfg.img_encoder, cfg.layer_name
+                params["vgg"], image[None], seeds, cfg.img_encoder, cfg.layer_name,
+                compute_dtype=bf16,
             )
 
         seeds = r_feat.reshape(BATCH, T, 14, 14, cfg.img_feature_dim)

@@ -112,18 +112,23 @@ def vgg_lrp_preset_b_flat(params, image, relevance_seed, arch="vgg16", until="bl
     return r
 
 
-def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", until="block5_conv3"):
+def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", until="block5_conv3",
+                                 compute_dtype=None):
     """Per-word LRP with the forward pass shared across words.
 
     image: (1, 224, 224, 3); relevance_seeds: (W, 14, 14, 512) — one seed per
     caption word. The forward activations are computed once and the backward
     is vmapped over W, so all W heatmaps come out of one XLA program.
+    ``compute_dtype=bfloat16`` runs the conv chains on the MXU fast path
+    (f32 accumulate) — ~1e-2 relative heatmap deviation for ~3x throughput.
     Returns (W, 224, 224, 3).
     """
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
 
     def one(seed):
-        rule = lambda r, x, k, b: lrp_conv_alpha_beta(r, x, k, b, alpha=1.0, beta=0.0)
+        rule = lambda r, x, k, b: lrp_conv_alpha_beta(
+            r, x, k, b, alpha=1.0, beta=0.0, compute_dtype=compute_dtype
+        )
         return _vgg_lrp_backward(params, inputs, seed[None], arch, until, rule)[0]
 
     return jax.vmap(one)(relevance_seeds)

@@ -109,3 +109,16 @@ def test_flat_input_presets_run(rng):
     b = vgg_lrp_preset_b_flat(params, image, seed, **ARCH_KW)
     assert a.shape == b.shape == image.shape
     assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
+
+
+def test_preset_a_bf16_close_to_f32(rng):
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import vgg_lrp_preset_a_wordbatched
+
+    params = init_vgg_params(jax.random.PRNGKey(0), "vgg16", "block1_conv2")
+    image = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    seeds = jnp.asarray(rng.normal(size=(3, 16, 16, 64)).astype(np.float32))
+    f32 = np.asarray(vgg_lrp_preset_a_wordbatched(params, image, seeds, **ARCH_KW))
+    bf16 = np.asarray(vgg_lrp_preset_a_wordbatched(params, image, seeds,
+                                                   compute_dtype=jnp.bfloat16, **ARCH_KW))
+    scale = np.abs(f32).max()
+    assert np.abs(bf16 - f32).max() / scale < 0.05
