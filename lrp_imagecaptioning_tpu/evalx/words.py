@@ -127,6 +127,20 @@ def _project_pos_no_shift(x: np.ndarray) -> np.ndarray:
     return np.zeros_like(x) if absmax == 0 else x / absmax
 
 
+def pool_heatmap_to_grid(hp: np.ndarray, grid: int = 14, pooling: str = "max") -> np.ndarray:
+    """Pool a (224,224) heatmap down to the attention grid, for comparing
+    pixel relevance against attention cell-by-cell
+    (_explain_single_word_pooling, exaimin_word.py:131-160)."""
+    H = hp.shape[0]
+    win = H // grid
+    blocks = hp[: grid * win, : grid * win].reshape(grid, win, grid, win)
+    if pooling == "max":
+        return blocks.max(axis=(1, 3))
+    if pooling == "avg":
+        return blocks.mean(axis=(1, 3))
+    raise ValueError(f"pooling {pooling!r} not in ('max', 'avg')")
+
+
 def _roc_auc(labels: list[int], scores: list[float]):
     from sklearn.metrics import auc, roc_curve
 

@@ -71,6 +71,33 @@ def vgg_lrp_epsilon(params, image, relevance_seed, arch="vgg16", until="block5_c
     return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
 
 
+def vgg_lrp_preset_a_debug(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
+    """PresetA backward with per-layer relevance diagnostics.
+
+    Numerical-sanitizing parity with iNNvestigate's opt-in debug tensors
+    (reverse_check_finite / reverse_check_min_max_values, base.py:753-802):
+    returns (relevance, stats) where stats[op_name] = dict(sum, min, max,
+    nonfinite_count) for the relevance AFTER reversing that op, in backward
+    order. Conservation drift and NaN origin are readable directly."""
+    ops = vgg_layers(arch, until)
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    r = relevance_seed
+    stats = {}
+    for op, x in zip(reversed(ops), reversed(inputs)):
+        if op[0] == "conv":
+            p = params[op[1]]
+            r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=1.0, beta=0.0)
+        else:
+            r = lrp_maxpool_wta(r, x)
+        stats[op[1]] = {
+            "sum": r.sum(),
+            "min": r.min(),
+            "max": r.max(),
+            "nonfinite_count": (~jnp.isfinite(r)).sum(),
+        }
+    return r, stats
+
+
 def vgg_lrp_preset_a_flat(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
     """LRPSequentialPresetAFlat: PresetA with the FlatRule on the input layer
     (relevance_analyzer.py:755-762)."""

@@ -122,3 +122,32 @@ def test_preset_a_bf16_close_to_f32(rng):
                                                    compute_dtype=jnp.bfloat16, **ARCH_KW))
     scale = np.abs(f32).max()
     assert np.abs(bf16 - f32).max() / scale < 0.05
+
+
+def test_preset_a_debug_stats(rng):
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import (
+        vgg_lrp_preset_a,
+        vgg_lrp_preset_a_debug,
+    )
+
+    params, image, seed = _setup(rng, size=8)
+    rel, stats = vgg_lrp_preset_a_debug(params, image, seed, **ARCH_KW)
+    plain = vgg_lrp_preset_a(params, image, seed, **ARCH_KW)
+    np.testing.assert_array_equal(np.asarray(rel), np.asarray(plain))
+    assert set(stats) == {"block1_conv1", "block1_conv2"}
+    for s in stats.values():
+        assert int(s["nonfinite_count"]) == 0
+        assert float(s["min"]) <= float(s["max"])
+
+
+def test_pool_heatmap_to_grid():
+    from lrp_imagecaptioning_tpu.evalx.words import pool_heatmap_to_grid
+
+    hp = np.zeros((224, 224), np.float32)
+    hp[0, 0] = 5.0    # cell (0,0)
+    hp[100, 100] = 3.0  # cell (6,6) for 16x16 windows
+    out = pool_heatmap_to_grid(hp, grid=14, pooling="max")
+    assert out.shape == (14, 14)
+    assert out[0, 0] == 5.0 and out[6, 6] == 3.0
+    avg = pool_heatmap_to_grid(hp, grid=14, pooling="avg")
+    np.testing.assert_allclose(avg[0, 0], 5.0 / 256)
