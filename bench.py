@@ -128,11 +128,13 @@ def main():
     tokens, heatmaps = fn(params, images)
     _ = np.asarray(heatmaps.sum()), np.asarray(tokens)
 
-    iters = 3
+    iters = 10
+    checks = []
     t0 = time.perf_counter()
     for _ in range(iters):
         tokens, heatmaps = fn(params, images)
-        _ = np.asarray(heatmaps.sum())
+        checks.append(heatmaps.sum())  # device-side; fetched after the loop
+    _ = [np.asarray(c) for c in checks]
     dt = time.perf_counter() - t0
 
     n_chips = 1  # bench runs single-chip

@@ -171,6 +171,43 @@ def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eo
     return jax.jit(step, **kw)
 
 
+def make_sharded_lrp_finetune_step(captioner, optimizer, mesh, stop_table, sos_1based: int,
+                                   eos_1based: int, mode: str = "mean", donate: bool = True):
+    """Data-parallel LRP-inference finetuning over a device mesh — the
+    north-star config (BASELINE.json): the batch (images/captions/labels)
+    shards over the data axis, so each device runs forward-predict +
+    per-word LRP + the dual-loss grad for its shard and XLA inserts one
+    ICI psum for the gradients."""
+    from ..parallel import batch_sharding, replicated
+
+    stop_t = jnp.asarray(stop_table)
+    data_s = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def step(params, opt_state, images, captions_in, y_onehot, rng):
+        y_pred = captioner.forward_train(params, images, captions_in, None)
+        w = jax.lax.stop_gradient(
+            lrp_weights(captioner, params, images, y_pred, stop_t, sos_1based, eos_1based, mode)
+        )
+
+        def loss(p):
+            logits = captioner.forward_train(p, images, captions_in, rng)
+            return dual_loss(logits, w, y_onehot), logits
+
+        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+
+    kw = {"donate_argnums": (0, 1)} if donate else {}
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, data_s, data_s, data_s, rep),
+        out_shardings=(rep, rep, rep),
+        **kw,
+    )
+
+
 class LRPFinetuner:
     """TrainingLRPInference* equivalent (train.py:519-673): chunked finetune
     loop with periodic weight saves; resumable by save_idx."""
