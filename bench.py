@@ -28,7 +28,9 @@ import numpy as np
 # the measured-on-comparable-hardware estimate recorded there.
 KERAS_CPU_BASELINE_IMG_PER_S = 0.05
 
-BATCH = 8
+import os as _os
+
+BATCH = int(_os.environ.get("LRPIC_BENCH_BATCH", "8"))
 VOCAB = 7003
 BEAM = 3
 T = 20

@@ -1,0 +1,65 @@
+"""Driver-level integration tests: rendering grids, process_beam_search over
+a provider, and the CLI on the synthetic dataset. Tiny VGG-compatible images
+(32x32 -> 2x2 grid) keep CPU runtime low."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from lrp_imagecaptioning_tpu.config import FlickrConfig
+
+CFG = FlickrConfig(
+    embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
+    sentence_length=5, drop_rate=0.0, batch_size=2,
+)
+
+
+class FakePP:
+    SOS_TOKEN = "szeros"
+    EOS_TOKEN = "zeros"
+    SOS_TOKEN_LABEL_ENCODED = 1
+    EOS_TOKEN_LABEL_ENCODED = 2
+    word_of = {i: f"w{i}" for i in range(1, 17)}
+
+
+def test_render_explanation(tmp_path, rng):
+    from lrp_imagecaptioning_tpu.explain.drivers import render_explanation
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method="lrp")
+    image = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
+    raw = (rng.random((32, 32, 3)) * 255).astype(np.float32)
+    written = render_explanation(result, raw, str(tmp_path / "out"), "img.jpg",
+                                 method="lrp", grid=2, upscale=16)
+    assert len(written) == 3
+    for p in written:
+        assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_evaluate_cli_on_synthetic(tmp_path, monkeypatch, rng):
+    """CLI evaluate end-to-end on the synthetic dataset (greedy, tiny model)."""
+    from lrp_imagecaptioning_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+
+    # shrink the default config the CLI builds
+    orig = cli._build_dataset
+
+    def small(args):
+        cfg, ds = orig(args)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        return cfg, ds
+
+    monkeypatch.setattr(cli, "_build_dataset", small)
+    cli.main([
+        "evaluate", "--dataset", "synthetic", "--model", "adaptiveattention",
+        "--batch-size", "2", "--beam-size", "1", "--out", str(tmp_path / "ev"),
+    ])
+    assert (tmp_path / "ev" / "test-metrics.yaml").exists()
+    assert (tmp_path / "ev" / "test-predictions.yaml").exists()
