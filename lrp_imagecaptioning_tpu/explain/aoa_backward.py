@@ -73,23 +73,24 @@ def explain_word_aoa(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
     r_h_from_q = lrp_linear(r_q, cache_t.h, cache_t.q, params["q_proj"]["kernel"])
     r_h_T = r_h_seed + r_h_from_q
 
-    # LSTM BPTT (gate-g path only, as in the reference decoders)
-    def body(carry, i):
+    # LSTM BPTT (gate-g path only, as in the reference decoders); caches as
+    # scan xs (native slicing, no per-step gathers)
+    def body(carry, step_in):
         r_ct_next, r_ht_next = carry
+        i, c_i = step_in
         active = i <= t
         is_seed = i == t
         r_ht_next = jnp.where(is_seed, r_h_T, r_ht_next)
         r_ct_next = jnp.where(is_seed, jnp.zeros_like(r_ct_next), r_ct_next)
-        c_i = at(caches, i)
-        zi = c_i.z_pre[:H]
-        zf = c_i.z_pre[H : 2 * H]
-        zg = c_i.z_pre[2 * H : 3 * H]
+        zi = c_i["z_pre"][:H]
+        zf = c_i["z_pre"][H : 2 * H]
+        zg = c_i["z_pre"][2 * H : 3 * H]
         i_act = jax.nn.sigmoid(zi)
         f_act = jax.nn.sigmoid(zf)
         r_c = r_ct_next + r_ht_next
-        r_gt = lrp_identity(r_c, i_act * jnp.tanh(zg), c_i.c)
-        r_ct_prev = lrp_identity(r_c, f_act * c_i.c_prev, c_i.c)
-        xht = jnp.concatenate([c_i.x_t, c_i.h_prev], axis=-1)
+        r_gt = lrp_identity(r_c, i_act * jnp.tanh(zg), c_i["c"])
+        r_ct_prev = lrp_identity(r_c, f_act * c_i["c_prev"], c_i["c"])
+        xht = jnp.concatenate([c_i["x_t"], c_i["h_prev"]], axis=-1)
         r_xht = lrp_linear(r_gt, xht, zg, w_g)
         r_ht_prev = r_xht[E + H :]
         r_glob_i = jnp.where(active, r_xht[E : E + H], 0.0)
@@ -98,8 +99,10 @@ def explain_word_aoa(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
         return (z(r_ct_prev), z(r_ht_prev)), (r_glob_i, r_word_i)
 
     zero_h = jnp.zeros((H,), r_out.dtype)
+    used = {k: jnp.flip(getattr(caches, k), 0)
+            for k in ("z_pre", "c", "c_prev", "x_t", "h_prev")}
     _, (r_glob_steps, r_word_steps) = jax.lax.scan(
-        body, (zero_h, zero_h), jnp.arange(T - 1, -1, -1)
+        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used)
     )
     r_global = r_glob_steps.sum(axis=0)                       # (H,)
     r_words = jnp.flip(r_word_steps)

@@ -45,26 +45,26 @@ def grad_word_adaptive(params, consts, caches, t: jnp.ndarray, word_0based: jnp.
     d_V = cache_t.attention[:, None] * d_context[None, :]  # (L, H)
     d_V = jnp.where(consts.v_feat <= 0, 0.0, d_V)
 
-    def body(carry, i):
+    def body(carry, step_in):
         d_ht_next, d_ct_next = carry
+        i, c_i = step_in
         active = i <= t
         is_seed = i == t
         d_ht_next = jnp.where(is_seed, d_ht_T, d_ht_next)
         d_ct_next = jnp.where(is_seed, jnp.zeros_like(d_ct_next), d_ct_next)
-        c_i = at(caches, i)
-        zi = c_i.z_pre[:H]
-        zf = c_i.z_pre[H : 2 * H]
-        zg = c_i.z_pre[2 * H : 3 * H]
-        zo = c_i.z_pre[3 * H :]
+        zi = c_i["z_pre"][:H]
+        zf = c_i["z_pre"][H : 2 * H]
+        zg = c_i["z_pre"][2 * H : 3 * H]
+        zo = c_i["z_pre"][3 * H :]
         i_act = jax.nn.sigmoid(zi)
         f_act = jax.nn.sigmoid(zf)
         g_act = jnp.tanh(zg)
         o_act = jax.nn.sigmoid(zo)
-        tanh_c = jnp.tanh(c_i.c)
+        tanh_c = jnp.tanh(c_i["c"])
 
         d_o_act = d_ht_next * tanh_c
         d_c = d_ct_next + d_ht_next * o_act * (1.0 - tanh_c ** 2)
-        d_f_act = d_c * c_i.c_prev
+        d_f_act = d_c * c_i["c_prev"]
         d_ct_prev = d_c * f_act
         d_i_act = d_c * g_act
         d_g_act = d_c * i_act
@@ -81,8 +81,9 @@ def grad_word_adaptive(params, consts, caches, t: jnp.ndarray, word_0based: jnp.
         return (z(d_ht_prev), z(d_ct_prev)), (d_glob_i, d_word_i)
 
     zero_h = jnp.zeros((H,), d_hc.dtype)
+    used = {k: jnp.flip(getattr(caches, k), 0) for k in ("z_pre", "c", "c_prev")}
     _, (d_glob_steps, d_word_steps) = jax.lax.scan(
-        body, (zero_h, zero_h), jnp.arange(T - 1, -1, -1)
+        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used)
     )
     d_global = d_glob_steps.sum(axis=0)
     d_words = jnp.flip(d_word_steps)
@@ -137,34 +138,35 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
 
     d_V_accum0 = jnp.zeros_like(consts.v_feat)  # (L, H)
 
-    def body(carry, i):
+    def body(carry, step_in):
         d_h2_next, d_c2_next, d_h1_next, d_c1_next, d_V_acc = carry
+        i, c_i = step_in
         active = i <= t
         is_seed = i == t
         d_h2_next = jnp.where(is_seed, d_h2_T, d_h2_next)
         d_c2_next = jnp.where(is_seed, jnp.zeros_like(d_c2_next), d_c2_next)
-        c_i = at(caches, i)
 
         d_h2_prev, d_c2_prev, d_x2 = lstm_bwd(
-            c_i.z2_pre, c_i.c2, c_i.c2_prev, d_h2_next, d_c2_next, lg_wi, lg_wh
+            c_i["z2_pre"], c_i["c2"], c_i["c2_prev"], d_h2_next, d_c2_next, lg_wi, lg_wh
         )
         d_chat = d_x2[:H]
         d_h1_in = d_x2[H:]
-        beta = c_i.beta[0]
+        beta = c_i["beta"][0]
         d_context = d_chat * (1.0 - beta)
         d_st = d_chat * beta
         # sentinel: st = tanh(c1)*sigmoid(...); gradient to c1 via tanh only
-        gate = c_i.st / jnp.where(jnp.abs(jnp.tanh(c_i.c1)) > 1e-6, jnp.tanh(c_i.c1), 1.0)
-        d_c1_from_st = d_st * gate * (1 - jnp.tanh(c_i.c1) ** 2)
+        tanh_c1 = jnp.tanh(c_i["c1"])
+        gate = c_i["st"] / jnp.where(jnp.abs(tanh_c1) > 1e-6, tanh_c1, 1.0)
+        d_c1_from_st = d_st * gate * (1 - tanh_c1 ** 2)
 
-        d_V_i = c_i.attention[:, None] * d_context[None, :]
+        d_V_i = c_i["attention"][:, None] * d_context[None, :]
         d_V_i = jnp.where(consts.v_feat <= 0, 0.0, d_V_i)
         d_V_acc = d_V_acc + jnp.where(active, d_V_i, 0.0)
 
         d_h1_prev, d_c1_prev, d_x1 = lstm_bwd(
-            c_i.z1_pre,
-            c_i.c1,
-            c_i.c1_prev,
+            c_i["z1_pre"],
+            c_i["c1"],
+            c_i["c1_prev"],
             d_h1_next + d_h1_in,
             d_c1_next + d_c1_from_st,
             td_wi,
@@ -180,8 +182,11 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
         )
 
     zero = jnp.zeros((H,), d_h2_T.dtype)
+    used = {k: jnp.flip(getattr(caches, k), 0)
+            for k in ("z1_pre", "z2_pre", "c1", "c1_prev", "c2", "c2_prev",
+                      "beta", "st", "attention")}
     (carry_out, (d_glob_steps, d_word_steps)) = jax.lax.scan(
-        body, (zero, zero, zero, zero, d_V_accum0), jnp.arange(T - 1, -1, -1)
+        body, (zero, zero, zero, zero, d_V_accum0), (jnp.arange(T - 1, -1, -1), used)
     )
     d_V = carry_out[4]
     d_global = d_glob_steps.sum(axis=0)

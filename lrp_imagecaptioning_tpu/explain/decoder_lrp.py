@@ -78,19 +78,21 @@ def explain_word_adaptive(params, consts, caches, t: jnp.ndarray, word_0based: j
 
     # BPTT: reverse scan i = T-1 .. 0; the seed relevance (r_st, r_ht_T) is
     # injected at i == t, steps with i > t are masked out, so one fixed-length
-    # scan serves every word position (static shapes for XLA).
-    def body(carry, i):
+    # scan serves every word position (static shapes for XLA). The per-step
+    # caches ride as scan xs (native slicing) rather than dynamic-slice
+    # gathers — under vmap over words the gathers would otherwise dominate.
+    def body(carry, step_in):
         r_ct_next, r_ht_next = carry
+        i, c_i = step_in
         active = i <= t
         is_seed = i == t
         r_ct_next = jnp.where(is_seed, r_st, r_ct_next)
         r_ht_next = jnp.where(is_seed, r_ht_T, r_ht_next)
-        c_i = at(caches, i)
-        i_act, f_act, g_pre = _gate_slices(c_i.z_pre, H)
+        i_act, f_act, g_pre = _gate_slices(c_i["z_pre"], H)
         r_c = r_ct_next + r_ht_next                       # r_ct[i+1] += r_ht[i+1]
-        r_gt = lrp_identity(r_c, i_act * jnp.tanh(g_pre), c_i.c)
-        r_ct_prev = lrp_identity(r_c, f_act * c_i.c_prev, c_i.c)
-        xht = jnp.concatenate([c_i.x_t, c_i.h_prev], axis=-1)
+        r_gt = lrp_identity(r_c, i_act * jnp.tanh(g_pre), c_i["c"])
+        r_ct_prev = lrp_identity(r_c, f_act * c_i["c_prev"], c_i["c"])
+        xht = jnp.concatenate([c_i["x_t"], c_i["h_prev"]], axis=-1)
         r_xht = lrp_linear(r_gt, xht, g_pre, w_g)
         r_ht_prev = r_xht[2 * E :]
         r_glob_i = jnp.where(active, r_xht[E : 2 * E], 0.0)
@@ -100,8 +102,10 @@ def explain_word_adaptive(params, consts, caches, t: jnp.ndarray, word_0based: j
         return (r_ct_prev, r_ht_prev), (r_glob_i, r_word_i)
 
     zero_h = jnp.zeros((H,), r_hc.dtype)
+    used = {k: jnp.flip(getattr(caches, k), 0)
+            for k in ("z_pre", "c", "c_prev", "x_t", "h_prev")}
     (_, _), (r_glob_steps, r_word_steps) = jax.lax.scan(
-        body, (zero_h, zero_h), jnp.arange(T - 1, -1, -1)
+        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used)
     )
     r_global = r_glob_steps.sum(axis=0)          # (E,)
     # r_word_steps came out in reverse time order; flip to forward order
@@ -154,36 +158,37 @@ def explain_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp
 
     # carry: relevance flowing backward — r_c2, r_h2, r_c1, r_h1, r_chat.
     # Seeds (r_h2_T, r_chat_T) are injected at i == t; i > t is masked out.
-    def body(carry, i):
+    # Per-step caches ride as scan xs (native slicing, no gathers).
+    def body(carry, step_in):
         r_c2_next, r_h2_next, r_c1_next, r_h1_next, r_chat_i = carry
+        i, c_i = step_in
         active = i <= t
         is_seed = i == t
         r_h2_next = jnp.where(is_seed, r_h2_T, r_h2_next)
         r_chat_i = jnp.where(is_seed, r_chat_T, r_chat_i)
-        c_i = at(caches, i)
-        i2, f2, g2 = _gate_slices(c_i.z2_pre, H)
-        i1, f1, g1 = _gate_slices(c_i.z1_pre, H)
+        i2, f2, g2 = _gate_slices(c_i["z2_pre"], H)
+        i1, f1, g1 = _gate_slices(c_i["z1_pre"], H)
 
         # language LSTM backward (explainers.py:1240-1262)
         r_c2 = r_c2_next + r_h2_next
-        r_g2 = lrp_identity(r_c2, i2 * jnp.tanh(g2), c_i.c2)
-        r_c2_prev = lrp_identity(r_c2, f2 * c_i.c2_prev, c_i.c2)
-        xht2 = jnp.concatenate([c_i.x2_t, c_i.h2_prev], axis=-1)  # (3H,)
+        r_g2 = lrp_identity(r_c2, i2 * jnp.tanh(g2), c_i["c2"])
+        r_c2_prev = lrp_identity(r_c2, f2 * c_i["c2_prev"], c_i["c2"])
+        xht2 = jnp.concatenate([c_i["x2_t"], c_i["h2_prev"]], axis=-1)  # (3H,)
         r_xht2 = lrp_linear(r_g2, xht2, g2, w_g2)
         r_h1_in = r_xht2[H : 2 * H]                 # r_h1t[i+1] += ...
         r_h2_prev = r_xht2[2 * H :]
         r_chat = r_chat_i + r_xht2[:H]              # r_context_hat[i] += ...
 
         # adaptive split (explainers.py:1263-1277)
-        beta = c_i.beta[0]
-        r_st = lrp_identity(r_chat, beta * c_i.st, c_i.c_hat)
-        r_ctx = lrp_identity(r_chat, (1.0 - beta) * c_i.context, c_i.c_hat)
+        beta = c_i["beta"][0]
+        r_st = lrp_identity(r_chat, beta * c_i["st"], c_i["c_hat"])
+        r_ctx = lrp_identity(r_chat, (1.0 - beta) * c_i["context"], c_i["c_hat"])
 
         # TD LSTM backward (explainers.py:1279-1299)
         r_c1 = r_c1_next + r_st + r_h1_next + r_h1_in
-        r_g1 = lrp_identity(r_c1, i1 * jnp.tanh(g1), c_i.c1)
-        r_c1_prev = lrp_identity(r_c1, f1 * c_i.c1_prev, c_i.c1)
-        xht1 = jnp.concatenate([c_i.x1_t, c_i.h1_prev], axis=-1)
+        r_g1 = lrp_identity(r_c1, i1 * jnp.tanh(g1), c_i["c1"])
+        r_c1_prev = lrp_identity(r_c1, f1 * c_i["c1_prev"], c_i["c1"])
+        xht1 = jnp.concatenate([c_i["x1_t"], c_i["h1_prev"]], axis=-1)
         r_xht1 = lrp_linear(r_g1, xht1, g1, w_g1)
         r_h2_from_x1 = r_xht1[:H]
         r_glob_i = r_xht1[H : H + E]
@@ -192,7 +197,7 @@ def explain_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp
 
         # per-location V relevance emitted this step (accumulated over time)
         r_V_i = lrp_identity(
-            r_ctx[None, :], c_i.attention[:, None] * consts.v_feat, c_i.context[None, :]
+            r_ctx[None, :], c_i["attention"][:, None] * consts.v_feat, c_i["context"][None, :]
         )
 
         z = lambda v: jnp.where(active, v, jnp.zeros_like(v))
@@ -207,8 +212,12 @@ def explain_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp
 
     zero = jnp.zeros((H,), r_hc.dtype)
     carry0 = (zero, zero, zero, zero, zero)
+    used = {k: jnp.flip(getattr(caches, k), 0)
+            for k in ("z1_pre", "z2_pre", "c1", "c1_prev", "c2", "c2_prev",
+                      "x1_t", "x2_t", "h1_prev", "h2_prev", "beta", "st",
+                      "context", "c_hat", "attention")}
     _, (r_V_steps, r_glob_steps, r_word_steps) = jax.lax.scan(
-        body, carry0, jnp.arange(T - 1, -1, -1)
+        body, carry0, (jnp.arange(T - 1, -1, -1), used)
     )
     r_V = r_V_steps.sum(axis=0)                  # (L, H)
     r_global = r_glob_steps.sum(axis=0)          # (E,)
