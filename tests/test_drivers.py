@@ -63,3 +63,20 @@ def test_evaluate_cli_on_synthetic(tmp_path, monkeypatch, rng):
     ])
     assert (tmp_path / "ev" / "test-metrics.yaml").exists()
     assert (tmp_path / "ev" / "test-predictions.yaml").exists()
+
+
+def test_caption_service(rng):
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1).warmup()
+    # ragged request (3 < batch 4) and oversized request (5 > 4)
+    out3 = svc.caption(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    assert len(out3) == 3
+    out5 = svc.caption(rng.normal(size=(5, 32, 32, 3)).astype(np.float32))
+    assert len(out5) == 5
+    assert svc.stats["images"] == 8
+    for c in out3 + out5:
+        assert isinstance(c, str)
