@@ -104,12 +104,13 @@ def prepare_consts(params, feat_grid: jnp.ndarray) -> AdaptiveConsts:
     )
 
 
-def step(params, consts: AdaptiveConsts, state: LSTMState, token_emb: jnp.ndarray):
-    """One decoder step; returns (new_state, AdaptiveStepCache)."""
+def step(params, consts: AdaptiveConsts, state: LSTMState, token_emb: jnp.ndarray, lstm_masks=None):
+    """One decoder step; returns (new_state, AdaptiveStepCache).
+    ``lstm_masks`` enables Keras-style LSTM dropout during training."""
     a = params["attn"]
     h_prev, c_prev = state
     x_t = jnp.concatenate([token_emb, consts.global_feat], axis=-1)  # (B, 2E)
-    new_state, lstm_cache = lstm_step(params["lstm"], x_t, state)
+    new_state, lstm_cache = lstm_step(params["lstm"], x_t, state, lstm_masks)
     h = new_state.h
     ht_proj = h @ a["Wg"]                                            # (B, H)
     att_pre = jnp.tanh(ht_proj[:, None, :] + consts.v_proj)          # (B, L, H)
@@ -152,6 +153,8 @@ def forward_train(params, feat_grid, captions_in, cfg, dropout_rng=None, drop_ra
     B, T = captions_in.shape
     consts = prepare_consts(params, feat_grid)
     if dropout_rng is not None and drop_rate > 0.0:
+        from .cells import lstm_dropout_masks
+
         ks = jax.random.split(dropout_rng, 5)
         keep = 1.0 - drop_rate
 
@@ -165,13 +168,18 @@ def forward_train(params, feat_grid, captions_in, cfg, dropout_rng=None, drop_ra
         consts = consts._replace(v_proj=consts.v_feat @ params["attn"]["Wv"])
         out_mask = jax.random.bernoulli(ks[2], keep, (B, params["output"]["kernel"].shape[0])) / keep
         logit_mask = jax.random.bernoulli(ks[3], keep, (B, params["output"]["kernel"].shape[1])) / keep
+        # Keras LSTM dropout/recurrent_dropout (model.py:455-460)
+        E = params["embedding"].shape[-1]
+        H = cfg.hidden_dim
+        lstm_masks = lstm_dropout_masks(ks[4], 2 * E, H, drop_rate, batch=B)
     else:
         out_mask = logit_mask = None
+        lstm_masks = None
 
     embs = params["embedding"][captions_in]  # (B, T, E)
 
     def scan_fn(state, emb_t):
-        new_state, cache = step(params, consts, state, emb_t)
+        new_state, cache = step(params, consts, state, emb_t, lstm_masks)
         if out_mask is not None:
             logits = dense(params["output"], (cache.h + cache.c_hat) * out_mask) * logit_mask
         else:

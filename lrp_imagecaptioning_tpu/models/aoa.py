@@ -154,10 +154,10 @@ def prepare_consts(params, feat_grid: jnp.ndarray) -> AOAConsts:
     )
 
 
-def step(params, consts: AOAConsts, state: LSTMState, token_emb: jnp.ndarray):
+def step(params, consts: AOAConsts, state: LSTMState, token_emb: jnp.ndarray, lstm_masks=None):
     h_prev, c_prev = state
     x_t = jnp.concatenate([token_emb, consts.global_feat], axis=-1)
-    new_state, lstm_cache = lstm_step(params["lstm"], x_t, state)
+    new_state, lstm_cache = lstm_step(params["lstm"], x_t, state, lstm_masks)
     h = new_state.h
     q = dense(params["q_proj"], h)                              # (B, H)
     hat, attn = _multi_head(q[:, None, :], consts.k_proj, consts.v_proj)
@@ -184,7 +184,9 @@ def forward_train(params, feat_grid, captions_in, cfg, dropout_rng=None, drop_ra
     B, T = captions_in.shape
     consts = prepare_consts(params, feat_grid)
     if dropout_rng is not None and drop_rate > 0.0:
-        ks = jax.random.split(dropout_rng, 3)
+        from .cells import lstm_dropout_masks
+
+        ks = jax.random.split(dropout_rng, 4)
         keep = 1.0 - drop_rate
 
         def drop(k, x):
@@ -198,13 +200,17 @@ def forward_train(params, feat_grid, captions_in, cfg, dropout_rng=None, drop_ra
         )
         out_mask = jax.random.bernoulli(ks[1], keep, (B, params["output"]["kernel"].shape[0])) / keep
         logit_mask = jax.random.bernoulli(ks[2], keep, (B, params["output"]["kernel"].shape[1])) / keep
+        E = params["embedding"].shape[-1]
+        H = cfg.hidden_dim
+        lstm_masks = lstm_dropout_masks(ks[3], E + H, H, drop_rate, batch=B)
     else:
         out_mask = logit_mask = None
+        lstm_masks = None
 
     embs = params["embedding"][captions_in]
 
     def scan_fn(state, emb_t):
-        new_state, cache = step(params, consts, state, emb_t)
+        new_state, cache = step(params, consts, state, emb_t, lstm_masks)
         if out_mask is not None:
             logits = dense(params["output"], (cache.context + cache.h) * out_mask) * logit_mask
         else:

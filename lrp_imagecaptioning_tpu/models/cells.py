@@ -37,11 +37,26 @@ def lstm_init(key, in_dim: int, hidden: int, dtype=jnp.float32):
     return {"wi": wi, "wh": wh, "b": b}
 
 
-def lstm_step(params, x, state: LSTMState):
-    """One LSTM step. Returns (new_state, cache)."""
+def lstm_step(params, x, state: LSTMState, dropout_masks=None):
+    """One LSTM step. Returns (new_state, cache).
+
+    ``dropout_masks``, when given, is ``(x_masks (4, in_dim), h_masks (4, H))``
+    — Keras LSTM dropout semantics: one inverted-dropout mask per gate for
+    the input and one per gate for the recurrent state, constant across
+    timesteps (Keras ``dropout=``/``recurrent_dropout=``, used by the
+    reference training graphs, model.py:455-460)."""
     h, c = state
     hidden = h.shape[-1]
-    z = x @ params["wi"] + h @ params["wh"] + params["b"]
+    if dropout_masks is None:
+        z = x @ params["wi"] + h @ params["wh"] + params["b"]
+    else:
+        x_masks, h_masks = dropout_masks
+        parts = []
+        for g_idx in range(4):
+            wi_g = params["wi"][:, g_idx * hidden : (g_idx + 1) * hidden]
+            wh_g = params["wh"][:, g_idx * hidden : (g_idx + 1) * hidden]
+            parts.append((x * x_masks[g_idx]) @ wi_g + (h * h_masks[g_idx]) @ wh_g)
+        z = jnp.concatenate(parts, axis=-1) + params["b"]
     zi, zf, zg, zo = jnp.split(z, 4, axis=-1)
     i = jax.nn.sigmoid(zi)
     f = jax.nn.sigmoid(zf)
@@ -49,8 +64,20 @@ def lstm_step(params, x, state: LSTMState):
     o = jax.nn.sigmoid(zo)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
-    del hidden
     return LSTMState(h_new, c_new), LSTMCache(z_pre=z, c=c_new)
+
+
+def lstm_dropout_masks(key, in_dim: int, hidden: int, rate: float, batch: int | None = None):
+    """Per-gate inverted-dropout masks, shared across timesteps.
+
+    Returns (x_masks, h_masks) with shapes (4, [B,] in_dim) / (4, [B,] H)."""
+    kx, kh = jax.random.split(key)
+    keep = 1.0 - rate
+    x_shape = (4, in_dim) if batch is None else (4, batch, in_dim)
+    h_shape = (4, hidden) if batch is None else (4, batch, hidden)
+    x_masks = jax.random.bernoulli(kx, keep, x_shape) / keep
+    h_masks = jax.random.bernoulli(kh, keep, h_shape) / keep
+    return x_masks.astype(jnp.float32), h_masks.astype(jnp.float32)
 
 
 def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32):

@@ -110,11 +110,13 @@ def prepare_consts(params, feat_grid: jnp.ndarray) -> GridTDConsts:
     )
 
 
-def step(params, consts: GridTDConsts, state: GridTDState, token_emb: jnp.ndarray):
+def step(params, consts: GridTDConsts, state: GridTDState, token_emb: jnp.ndarray, lstm_masks=None):
+    """``lstm_masks`` = (td_masks, lang_masks) enables Keras LSTM dropout."""
     a = params["attn"]
+    td_masks, lang_masks = lstm_masks if lstm_masks is not None else (None, None)
     h1, c1, h2, c2 = state
     x1_t = jnp.concatenate([h2, consts.global_feat, token_emb], axis=-1)
-    td_state, td_cache = lstm_step(params["td_lstm"], x1_t, LSTMState(h1, c1))
+    td_state, td_cache = lstm_step(params["td_lstm"], x1_t, LSTMState(h1, c1), td_masks)
     h1_new, c1_new = td_state
     h_proj = h1_new @ a["W_ha"]
     att_pre = jnp.tanh(consts.v_proj + h_proj[:, None, :])
@@ -126,7 +128,7 @@ def step(params, consts: GridTDConsts, state: GridTDState, token_emb: jnp.ndarra
     context = jnp.einsum("bl,blh->bh", attention, consts.v_feat)
     c_hat = beta * st + (1.0 - beta) * context
     x2_t = jnp.concatenate([c_hat, h1_new], axis=-1)
-    lang_state, lang_cache = lstm_step(params["lang_lstm"], x2_t, LSTMState(h2, c2))
+    lang_state, lang_cache = lstm_step(params["lang_lstm"], x2_t, LSTMState(h2, c2), lang_masks)
     h2_new, c2_new = lang_state
     logits = dense(params["output"], h2_new + c_hat)
     new_state = GridTDState(h1_new, c1_new, h2_new, c2_new)
@@ -163,7 +165,9 @@ def forward_train(params, feat_grid, captions_in, cfg, dropout_rng=None, drop_ra
     B, T = captions_in.shape
     consts = prepare_consts(params, feat_grid)
     if dropout_rng is not None and drop_rate > 0.0:
-        ks = jax.random.split(dropout_rng, 4)
+        from .cells import lstm_dropout_masks
+
+        ks = jax.random.split(dropout_rng, 6)
         keep = 1.0 - drop_rate
 
         def drop(k, x):
@@ -176,13 +180,20 @@ def forward_train(params, feat_grid, captions_in, cfg, dropout_rng=None, drop_ra
         consts = consts._replace(v_proj=consts.v_feat @ params["attn"]["W_va"])
         out_mask = jax.random.bernoulli(ks[2], keep, (B, params["output"]["kernel"].shape[0])) / keep
         logit_mask = jax.random.bernoulli(ks[3], keep, (B, params["output"]["kernel"].shape[1])) / keep
+        E = params["embedding"].shape[-1]
+        H = cfg.hidden_dim
+        lstm_masks = (
+            lstm_dropout_masks(ks[4], H + 2 * E, H, drop_rate, batch=B),
+            lstm_dropout_masks(ks[5], 2 * H, H, drop_rate, batch=B),
+        )
     else:
         out_mask = logit_mask = None
+        lstm_masks = None
 
     embs = params["embedding"][captions_in]
 
     def scan_fn(state, emb_t):
-        new_state, cache = step(params, consts, state, emb_t)
+        new_state, cache = step(params, consts, state, emb_t, lstm_masks)
         if out_mask is not None:
             logits = dense(params["output"], (cache.h2 + cache.c_hat) * out_mask) * logit_mask
         else:

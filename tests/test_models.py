@@ -178,3 +178,42 @@ def test_losses(rng):
     assert np.isfinite(float(l2))
     acc = masked_accuracy(logits, y)
     assert 0.0 <= float(acc) <= 1.0
+
+
+def test_lstm_dropout_masks_train_only(rng):
+    """LSTM dropout: no-mask == all-ones masks; real masks change outputs but
+    keep expectation roughly centered (inverted dropout)."""
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.models.cells import (
+        LSTMState,
+        lstm_dropout_masks,
+        lstm_init,
+        lstm_step,
+    )
+
+    B, In, H = 3, 10, 8
+    params = lstm_init(jax.random.PRNGKey(0), In, H)
+    x = jnp.asarray(rng.normal(size=(B, In)).astype(np.float32))
+    state = LSTMState(jnp.zeros((B, H)), jnp.zeros((B, H)))
+    base, _ = lstm_step(params, x, state)
+    ones = (jnp.ones((4, B, In)), jnp.ones((4, B, H)))
+    same, _ = lstm_step(params, x, state, ones)
+    np.testing.assert_allclose(np.asarray(same.h), np.asarray(base.h), rtol=1e-5, atol=1e-6)
+    masks = lstm_dropout_masks(jax.random.PRNGKey(1), In, H, 0.5, batch=B)
+    dropped, _ = lstm_step(params, x, state, masks)
+    assert np.abs(np.asarray(dropped.h) - np.asarray(base.h)).max() > 1e-4
+
+
+def test_forward_train_dropout_stochastic(rng):
+    """With a dropout rng the forward is stochastic across keys and differs
+    from the deterministic eval forward."""
+    cfg = CFG.replace(drop_rate=0.5)
+    params = adaptive.init_params(jax.random.PRNGKey(0), VOCAB, cfg)
+    feat = jnp.asarray(rng.normal(size=(2, cfg.img_feature_length, cfg.img_feature_dim)).astype(np.float32))
+    caps = jnp.asarray(rng.integers(0, VOCAB, size=(2, 4)).astype(np.int32))
+    det = adaptive.forward_train(params, feat, caps, cfg)
+    d1 = adaptive.forward_train(params, feat, caps, cfg, jax.random.PRNGKey(1), 0.5)
+    d2 = adaptive.forward_train(params, feat, caps, cfg, jax.random.PRNGKey(2), 0.5)
+    assert np.abs(np.asarray(d1) - np.asarray(det)).max() > 1e-4
+    assert np.abs(np.asarray(d1) - np.asarray(d2)).max() > 1e-4
