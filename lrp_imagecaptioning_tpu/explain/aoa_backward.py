@@ -102,7 +102,7 @@ def explain_word_aoa(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
     used = {k: jnp.flip(getattr(caches, k), 0)
             for k in ("z_pre", "c", "c_prev", "x_t", "h_prev")}
     _, (r_glob_steps, r_word_steps) = jax.lax.scan(
-        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used)
+        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used), unroll=4
     )
     r_global = r_glob_steps.sum(axis=0)                       # (H,)
     r_words = jnp.flip(r_word_steps)

@@ -83,7 +83,7 @@ def grad_word_adaptive(params, consts, caches, t: jnp.ndarray, word_0based: jnp.
     zero_h = jnp.zeros((H,), d_hc.dtype)
     used = {k: jnp.flip(getattr(caches, k), 0) for k in ("z_pre", "c", "c_prev")}
     _, (d_glob_steps, d_word_steps) = jax.lax.scan(
-        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used)
+        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used), unroll=4
     )
     d_global = d_glob_steps.sum(axis=0)
     d_words = jnp.flip(d_word_steps)
@@ -186,7 +186,7 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
             for k in ("z1_pre", "z2_pre", "c1", "c1_prev", "c2", "c2_prev",
                       "beta", "st", "attention")}
     (carry_out, (d_glob_steps, d_word_steps)) = jax.lax.scan(
-        body, (zero, zero, zero, zero, d_V_accum0), (jnp.arange(T - 1, -1, -1), used)
+        body, (zero, zero, zero, zero, d_V_accum0), (jnp.arange(T - 1, -1, -1), used), unroll=4
     )
     d_V = carry_out[4]
     d_global = d_glob_steps.sum(axis=0)

@@ -105,7 +105,7 @@ def explain_word_adaptive(params, consts, caches, t: jnp.ndarray, word_0based: j
     used = {k: jnp.flip(getattr(caches, k), 0)
             for k in ("z_pre", "c", "c_prev", "x_t", "h_prev")}
     (_, _), (r_glob_steps, r_word_steps) = jax.lax.scan(
-        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used)
+        body, (zero_h, zero_h), (jnp.arange(T - 1, -1, -1), used), unroll=4
     )
     r_global = r_glob_steps.sum(axis=0)          # (E,)
     # r_word_steps came out in reverse time order; flip to forward order
@@ -217,7 +217,7 @@ def explain_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp
                       "x1_t", "x2_t", "h1_prev", "h2_prev", "beta", "st",
                       "context", "c_hat", "attention")}
     _, (r_V_steps, r_glob_steps, r_word_steps) = jax.lax.scan(
-        body, carry0, (jnp.arange(T - 1, -1, -1), used)
+        body, carry0, (jnp.arange(T - 1, -1, -1), used), unroll=4
     )
     r_V = r_V_steps.sum(axis=0)                  # (L, H)
     r_global = r_glob_steps.sum(axis=0)          # (E,)

@@ -1,0 +1,47 @@
+"""End-to-end Trainer integration on the synthetic dataset: epoch loop,
+per-epoch caption-metric eval, plateau LR, CSV log, Orbax checkpoints,
+resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lrp_imagecaptioning_tpu.config import FlickrConfig
+from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+from lrp_imagecaptioning_tpu.train.trainer import Trainer, parse_timedelta
+
+
+def test_parse_timedelta():
+    assert parse_timedelta("12 hours").total_seconds() == 12 * 3600
+    assert parse_timedelta("30 minutes").total_seconds() == 1800
+    assert parse_timedelta(None) is None
+
+
+@pytest.mark.slow
+def test_trainer_two_epochs(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = FlickrConfig(
+        embedding_dim=16, hidden_dim=16, sentence_length=6, drop_rate=0.0,
+        batch_size=4, rare_words_handling="nothing", learning_rate=1e-3,
+    )
+    ds = SyntheticDataset(cfg, n_train=8, n_val=4, n_test=4,
+                          cache_dir=str(tmp_path / "imgs"))
+    trainer = Trainer("adaptiveattention", cfg, ds, label="itest")
+    history = trainer.run(epochs=2, steps_per_epoch=2)
+
+    assert len(history) == 2
+    for logs in history:
+        assert np.isfinite(logs["loss"])
+        assert "val_loss" in logs and "val_cider" in logs
+        assert "learning_rate" in logs
+    # artifacts: CSV log, config snapshot, checkpoints
+    assert os.path.exists(os.path.join(trainer.result_dir, "metrics-log.csv"))
+    assert os.path.exists(os.path.join(trainer.result_dir, "config.yaml"))
+    from lrp_imagecaptioning_tpu.train.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(trainer.result_dir) is not None
+
+    # resume restores the latest checkpoint
+    t2 = Trainer("adaptiveattention", cfg, ds, label="itest")
+    assert t2.resume_latest()
