@@ -33,13 +33,18 @@ from ..ops.lrp_conv import lrp_conv_alpha_beta, lrp_conv_epsilon, lrp_maxpool_wt
 
 def _vgg_lrp_backward(params, inputs, relevance, arch, until, conv_rule):
     """Walk vgg_layers(...) in reverse applying ``conv_rule`` per conv and WTA
-    per pool. ``inputs[i]`` is the forward input of op i."""
+    per pool. ``inputs[i]`` is the forward input of op i.
+
+    ``conv_rule(r, x, kernel, bias, nonneg)`` — every conv input except the
+    image itself is post-ReLU, so rules exploiting the sign invariant get
+    ``nonneg=True`` for all but the first layer."""
     ops = vgg_layers(arch, until)
     r = relevance
-    for op, x in zip(reversed(ops), reversed(inputs)):
+    for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
+        is_input_layer = idx == len(ops) - 1
         if op[0] == "conv":
             p = params[op[1]]
-            r = conv_rule(r, x, p["kernel"], p["bias"])
+            r = conv_rule(r, x, p["kernel"], p["bias"], not is_input_layer)
         else:
             r = lrp_maxpool_wta(r, x)
     return r
@@ -53,21 +58,21 @@ def vgg_lrp_preset_a(params, image, relevance_seed, arch="vgg16", until="block5_
     Returns input-space relevance (B, 224, 224, 3).
     """
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
-    rule = lambda r, x, k, b: lrp_conv_alpha_beta(r, x, k, b, alpha=1.0, beta=0.0)
+    rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(r, x, k, b, alpha=1.0, beta=0.0, input_nonneg=nn)
     return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
 
 
 def vgg_lrp_preset_b(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
     """LRPSequentialPresetB: alpha2beta1 on conv (relevance_analyzer.py:724-748)."""
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
-    rule = lambda r, x, k, b: lrp_conv_alpha_beta(r, x, k, b, alpha=2.0, beta=1.0)
+    rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(r, x, k, b, alpha=2.0, beta=1.0, input_nonneg=nn)
     return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
 
 
 def vgg_lrp_epsilon(params, image, relevance_seed, arch="vgg16", until="block5_conv3", eps=0.01, bias=True):
     """Plain epsilon-rule LRP over the conv stack (LRPEpsilon analyzer)."""
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
-    rule = lambda r, x, k, b: lrp_conv_epsilon(r, x, k, b if bias else None, eps=eps)
+    rule = lambda r, x, k, b, nn: lrp_conv_epsilon(r, x, k, b if bias else None, eps=eps)
     return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule)
 
 
@@ -153,8 +158,8 @@ def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", u
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
 
     def one(seed):
-        rule = lambda r, x, k, b: lrp_conv_alpha_beta(
-            r, x, k, b, alpha=1.0, beta=0.0, compute_dtype=compute_dtype
+        rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(
+            r, x, k, b, alpha=1.0, beta=0.0, compute_dtype=compute_dtype, input_nonneg=nn
         )
         return _vgg_lrp_backward(params, inputs, seed[None], arch, until, rule)[0]
 

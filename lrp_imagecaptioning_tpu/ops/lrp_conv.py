@@ -99,6 +99,7 @@ def lrp_conv_alpha_beta(
     padding: str = "SAME",
     factor: float = EPS_KERAS,
     compute_dtype=None,
+    input_nonneg: bool = False,
 ) -> jnp.ndarray:
     """AlphaBetaRule for a conv layer (alpha - beta = 1).
 
@@ -110,6 +111,11 @@ def lrp_conv_alpha_beta(
     f32 accumulation; the divide/re-weighting stays f32. The z+ denominators
     are sums of same-sign terms, so bf16 relative error stays ~1e-2 with no
     catastrophic cancellation.
+
+    ``input_nonneg=True`` declares x >= 0 (true for every post-ReLU VGG
+    activation, i.e. all layers but the input image): x- is identically zero,
+    so the x-/W pair of convs — exactly half the FLOPs — is elided. XLA
+    cannot infer this sign invariant itself.
     """
     kp = kernel * (kernel >= 0)
     kn = kernel * (kernel < 0)
@@ -117,20 +123,25 @@ def lrp_conv_alpha_beta(
     if bias is not None:
         bp = bias * (bias >= 0)
         bn = bias * (bias < 0)
-    xp = jnp.maximum(x, 0)
-    xn = jnp.minimum(x, 0)
+    xp = x if input_nonneg else jnp.maximum(x, 0)
+    xn = None if input_nonneg else jnp.minimum(x, 0)
 
     def f(k1, b1, k2, b2):
         z1 = conv2d(xp, k1, stride, padding, compute_dtype)
-        z2 = conv2d(xn, k2, stride, padding, compute_dtype)
         if b1 is not None:
             z1 = z1 + b1
-        if b2 is not None:
-            z2 = z2 + b2
-        s = safe_divide(r, z1 + z2, factor)
+        if xn is not None:
+            z2 = conv2d(xn, k2, stride, padding, compute_dtype)
+            if b2 is not None:
+                z2 = z2 + b2
+            z1 = z1 + z2
+        elif b2 is not None:
+            z1 = z1 + b2
+        s = safe_divide(r, z1, factor)
         t1 = xp * conv2d_input_vjp(x.shape, k1, s, stride, padding, compute_dtype)
-        t2 = xn * conv2d_input_vjp(x.shape, k2, s, stride, padding, compute_dtype)
-        return t1 + t2
+        if xn is not None:
+            t1 = t1 + xn * conv2d_input_vjp(x.shape, k2, s, stride, padding, compute_dtype)
+        return t1
 
     activator = f(kp, bp, kn, bn)
     if beta:

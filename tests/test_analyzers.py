@@ -151,3 +151,17 @@ def test_pool_heatmap_to_grid():
     assert out[0, 0] == 5.0 and out[6, 6] == 3.0
     avg = pool_heatmap_to_grid(hp, grid=14, pooling="avg")
     np.testing.assert_allclose(avg[0, 0], 5.0 / 256)
+
+
+def test_alpha_beta_nonneg_flag_exact(rng):
+    """input_nonneg=True must be bitwise-identical on nonneg inputs (the x-
+    branch it elides is exactly zero)."""
+    from lrp_imagecaptioning_tpu.ops.lrp_conv import lrp_conv_alpha_beta
+
+    x = jnp.abs(jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32)))
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 6)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(6,)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    full = lrp_conv_alpha_beta(r, x, k, b, 1.0, 0.0, input_nonneg=False)
+    fast = lrp_conv_alpha_beta(r, x, k, b, 1.0, 0.0, input_nonneg=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
