@@ -22,8 +22,6 @@ conv-transpose chain instead of the reference's per-word Keras predict calls.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,7 @@ import os
 
 import numpy as np
 
-from ..data.images import ImagePreprocessor, load_img_array, vgg_preprocess
+from ..data.images import load_img_array, vgg_preprocess
 from ..utils.visualizations import heatmap, postprocess
 from .cnn_gradient import pyramid_expand
 from .engine import Explainer

@@ -22,8 +22,6 @@ Methods (same registry the reference exposes one class per entry for):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ before scoring (inference.py:132-156) — we do the same.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

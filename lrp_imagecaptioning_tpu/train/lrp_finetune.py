@@ -20,8 +20,6 @@ single conv-transpose chain (lax.map over samples bounds VMEM/HBM pressure).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -95,7 +93,12 @@ def lrp_weights(captioner, params, images, y_pred_logits, stop_table, sos_1based
     caches_b = cap.decoder.forward_cached_from_inputs(
         params["decoder"], consts_b, inputs0, cfg.hidden_dim
     )
-    backward = explain_word_adaptive if cap.model_type == "adaptiveattention" else explain_word_gridtd
+    if cap.model_type == "adaptiveattention":
+        backward = explain_word_adaptive
+    elif cap.model_type == "aoa":
+        from ..explain.aoa_backward import explain_word_aoa as backward
+    else:
+        backward = explain_word_gridtd
 
     g = int(round(float(np.sqrt(cfg.img_feature_length))))
 

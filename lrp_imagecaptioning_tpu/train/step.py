@@ -10,14 +10,11 @@ out).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.captioner import masked_accuracy
-from ..parallel import batch_sharding, make_mesh, param_shardings, replicated
+from ..parallel import batch_sharding, param_shardings, replicated
 
 
 def make_train_step(captioner, optimizer, donate: bool = True):
