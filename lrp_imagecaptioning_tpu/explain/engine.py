@@ -74,6 +74,15 @@ class Explainer:
     def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None):
         if method not in METHODS:
             raise ValueError(f"method {method!r} not in {METHODS}")
+        if captioner.cfg.img_encoder not in ("vgg16", "vgg19") and method in ("lrp", "guided_gradcam"):
+            # parity note: the reference explainers support rule-based CNN
+            # passes for VGG (and partially inception) only; resnet captioners
+            # explain via the autodiff gradient paths
+            raise NotImplementedError(
+                f"{method!r} CNN rules are defined for VGG encoders; use "
+                "'gradient' or 'input_times_gradient' with "
+                f"{captioner.cfg.img_encoder!r}"
+            )
         self.captioner = captioner
         self.params = params
         self._pp = caption_pp
@@ -138,7 +147,21 @@ class Explainer:
         # CNN backward, word-batched; seeds (T, 14, 14, 512)
         g = int(round(float(np.sqrt(cap.cfg.img_feature_length))))
         seeds = r_feat.reshape(T, g, g, cap.cfg.img_feature_dim)
-        if self.method == "lrp":
+        if cap.cfg.img_encoder not in ("vgg16", "vgg19"):
+            # generic autodiff path (resnet50 etc.): one VJP per word seed
+            def enc(img):
+                return cap.encode(params, img[None])[0]        # (L, D)
+
+            _, enc_vjp = jax.vjp(enc, image)
+
+            def one_seed(s):
+                (gimg,) = enc_vjp(s.reshape(cap.cfg.img_feature_length, cap.cfg.img_feature_dim))
+                return gimg
+
+            maps = jax.vmap(one_seed)(seeds)
+            if self.method == "input_times_gradient":
+                maps = maps * image[None]
+        elif self.method == "lrp":
             maps = vgg_lrp_preset_a_wordbatched(
                 params["vgg"], image[None], seeds, cap.cfg.img_encoder, cap.cfg.layer_name
             )

@@ -70,16 +70,33 @@ class Captioner:
 
     def init_params(self, key):
         k1, k2 = jax.random.split(key)
+        if self.cfg.img_encoder in ("vgg16", "vgg19"):
+            enc = vgg.init_vgg_params(k1, self.cfg.img_encoder, self.cfg.layer_name)
+        elif self.cfg.img_encoder == "resnet50":
+            from . import resnet
+
+            enc = resnet.init_resnet50_params(k1)
+        else:
+            raise NotImplementedError(f"encoder {self.cfg.img_encoder!r}")
         return {
-            "vgg": vgg.init_vgg_params(k1, self.cfg.img_encoder, self.cfg.layer_name),
+            "vgg": enc,  # key kept for checkpoint compatibility across encoders
             "decoder": self.decoder.init_params(k2, self.vocab_size, self.cfg),
         }
 
     def encode(self, params, images, compute_dtype=None):
-        """images (B,224,224,3) preprocessed BGR -> (B, L, D) feature grid."""
-        feats = vgg.vgg_apply(
-            params["vgg"], images, self.cfg.img_encoder, self.cfg.layer_name, compute_dtype
-        )
+        """images (B,224,224,3) preprocessed -> (B, L, D) feature grid.
+
+        Encoder dispatch mirrors the reference builders (model.py:418-429):
+        vgg16/vgg19 tap ``cfg.layer_name``; resnet50 taps the final conv5
+        relu ('activation_49', 7x7x2048, config.py:37)."""
+        if self.cfg.img_encoder in ("vgg16", "vgg19"):
+            feats = vgg.vgg_apply(
+                params["vgg"], images, self.cfg.img_encoder, self.cfg.layer_name, compute_dtype
+            )
+        else:
+            from . import resnet
+
+            feats = resnet.resnet50_apply(params["vgg"], images, compute_dtype)
         B = feats.shape[0]
         return feats.reshape(B, self.cfg.img_feature_length, self.cfg.img_feature_dim).astype(jnp.float32)
 

@@ -119,9 +119,15 @@ def load_reference_decoder_h5(path: str, model_type: str) -> dict:
 def load_reference_checkpoint_h5(path: str, model_type: str, arch: str = "vgg16",
                                  until: str = "block5_conv3") -> dict:
     """Full captioner params ({'vgg', 'decoder'}) from a reference HDF5."""
-    from .vgg import load_keras_vgg_h5
+    if arch == "resnet50":
+        from .resnet import load_keras_resnet50_h5
 
+        enc = load_keras_resnet50_h5(path)
+    else:
+        from .vgg import load_keras_vgg_h5
+
+        enc = load_keras_vgg_h5(path, arch, until)
     return {
-        "vgg": load_keras_vgg_h5(path, arch, until),
+        "vgg": enc,
         "decoder": load_reference_decoder_h5(path, model_type),
     }

@@ -1,0 +1,85 @@
+"""ResNet50 encoder tests: shapes, captioner integration, gradient
+explanations, H5 import round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lrp_imagecaptioning_tpu.config import FlickrConfig
+from lrp_imagecaptioning_tpu.models import resnet
+from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+RESNET_CFG = FlickrConfig(
+    img_encoder="resnet50", layer_name="activation_49",
+    img_feature_length=4, img_feature_dim=2048,   # 64px input -> 2x2 grid
+    embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0,
+)
+VOCAB = 16
+
+
+def test_resnet50_output_shape(rng):
+    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    out = resnet.resnet50_apply(params, x)
+    assert out.shape == (1, 2, 2, 2048)  # 64 / 32 total stride
+    assert np.isfinite(np.asarray(out)).all()
+    # relu output: non-negative
+    assert float(out.min()) >= 0.0
+
+
+def test_resnet50_param_names_match_keras_convention():
+    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    assert "conv1" in params and "bn_conv1" in params
+    assert "res2a_branch1" in params and "bn2a_branch2c" in params
+    assert "res5c_branch2c" in params
+    assert params["res5c_branch2c"]["kernel"].shape == (1, 1, 512, 2048)
+    # 1 stem + 4 stages x (1 shortcut + 3 per block) convs
+    n_convs = sum(1 for k in params if k.startswith(("conv", "res")))
+    assert n_convs == 1 + (3 * 3 + 1) + (4 * 3 + 1) + (6 * 3 + 1) + (3 * 3 + 1)
+
+
+def test_resnet_captioner_decode_and_gradient_explain(rng):
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+
+    cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
+    ex = Explainer(cap, params, PP(), method="gradient", beam_size=2)
+    result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
+    assert result.relevance_maps.shape == (2, 64, 64, 3)
+    assert np.isfinite(result.relevance_maps).all()
+    assert np.abs(result.relevance_maps).sum() > 0
+
+    with pytest.raises(NotImplementedError):
+        Explainer(cap, params, PP(), method="lrp")
+
+
+def test_resnet_h5_roundtrip(tmp_path):
+    """Write params in a Keras-like H5 layout, re-import, compare."""
+    h5py = pytest.importorskip("h5py")
+    params = resnet.init_resnet50_params(jax.random.PRNGKey(1))
+    p = str(tmp_path / "rn.h5")
+    with h5py.File(p, "w") as f:
+        mw = f.create_group("model_weights")
+        for name, tree in params.items():
+            g = mw.create_group(name).create_group(name)
+            if name.startswith("bn"):
+                g.create_dataset("gamma:0", data=np.asarray(tree["gamma"]))
+                g.create_dataset("beta:0", data=np.asarray(tree["beta"]))
+                g.create_dataset("moving_mean:0", data=np.asarray(tree["moving_mean"]))
+                g.create_dataset("moving_variance:0", data=np.asarray(tree["moving_var"]))
+            else:
+                g.create_dataset("kernel:0", data=np.asarray(tree["kernel"]))
+    restored = resnet.load_keras_resnet50_h5(p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored,
+    )
