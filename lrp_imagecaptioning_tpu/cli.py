@@ -133,6 +133,66 @@ def cmd_explain(args):
             print(ex.caption)
 
 
+def cmd_evaluate_bbox(args):
+    """evaluate_bbox.py driver parity: bbox correctness over the test split."""
+    from .data.categories import load_entities_json
+    from .data.provider import DatasetProvider
+    from .evalx.bbox import analyze_results, evaluate_dataset
+    from .explain.engine import Explainer
+    from .models.captioner import build_captioner
+
+    cfg, dataset = _build_dataset(args)
+    provider = DatasetProvider(dataset, cfg)
+    captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+    params = _load_params(captioner, args)
+    explainer = Explainer(captioner, params, provider.caption_preprocessor,
+                          method=args.method, beam_size=args.beam_size)
+    category_dict = load_entities_json(args.entities_json)
+    out_json = args.out or "bbox-correctness.json"
+    results = evaluate_dataset(explainer, provider, category_dict, out_json,
+                               negate=not args.positive, max_images=args.max_images)
+    agg = analyze_results(results, out_csv=out_json.replace(".json", ".csv"))
+    print(agg)
+
+
+def cmd_analyze_words(args):
+    """exaimin_word.py driver parity: frequent-object mAP + ROC-AUC stats."""
+    import yaml
+
+    from .data.provider import DatasetProvider
+    from .evalx.words import (
+        COCO_FREQUENT_OBJECT,
+        FREQUENT_OBJECT,
+        beta_roc_auc,
+        collect_word_stats,
+        frequent_object_map,
+        mean_roc_auc,
+    )
+    from .explain.engine import Explainer
+    from .models.captioner import build_captioner
+
+    cfg, dataset = _build_dataset(args)
+    provider = DatasetProvider(dataset, cfg)
+    with open(args.predictions) as f:
+        raw = yaml.safe_load(f)
+    id_to_pred = {k: (v[0]["caption"] if isinstance(v, list) else v) for k, v in raw.items()}
+    id_to_refs = {d.img_filename: list(d.all_captions_txt) for d in dataset.test_set}
+    cats = COCO_FREQUENT_OBJECT if args.dataset.startswith("coco") else FREQUENT_OBJECT
+    print("frequent-object mAP:", frequent_object_map(id_to_pred, id_to_refs, cats))
+
+    if args.roc_auc:
+        captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+        params = _load_params(captioner, args)
+        explainer = Explainer(captioner, params, provider.caption_preprocessor,
+                              method="lrp", beam_size=args.beam_size)
+        stats = collect_word_stats(explainer, provider, id_to_pred, cats,
+                                   max_images=args.max_images)
+        _, _, auc_b = beta_roc_auc(stats)
+        _, _, auc_l = mean_roc_auc(stats, "lrp_mean")
+        _, _, auc_a = mean_roc_auc(stats, "attention_mean")
+        print(f"ROC-AUC beta={auc_b:.4f} lrp_mean={auc_l:.4f} attention_mean={auc_a:.4f}")
+
+
 def _load_params(captioner, args):
     import jax
 
@@ -193,6 +253,27 @@ def main(argv=None):
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_explain)
+
+    p = sub.add_parser("evaluate-bbox", help="bbox explanation correctness (evaluate_bbox.py)")
+    _add_common(p)
+    p.add_argument("--entities-json", required=True,
+                   help="COCOvalEntities.json / Flickr30kEntities.json")
+    p.add_argument("--method", default="lrp",
+                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam"])
+    p.add_argument("--beam-size", type=int, default=3)
+    p.add_argument("--positive", action="store_true",
+                   help="score positive evidence (reference default negates)")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--out", default=None)
+    p.set_defaults(fn=cmd_evaluate_bbox)
+
+    p = sub.add_parser("analyze-words", help="frequent-object mAP + ROC-AUC (exaimin_word.py)")
+    _add_common(p)
+    p.add_argument("--predictions", required=True, help="predictions yaml from `evaluate`")
+    p.add_argument("--roc-auc", action="store_true")
+    p.add_argument("--beam-size", type=int, default=3)
+    p.add_argument("--max-images", type=int, default=None)
+    p.set_defaults(fn=cmd_analyze_words)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,97 @@
+"""Beam-search semantics: the jitted scan must reproduce a straightforward
+Python implementation of the reference's heap algorithm
+(inference.py:178-264): pooled top-k over beam x vocab candidates with
+cumulative log-softmax scores, complete captions harvested when EOS enters a
+beam's per-step top-k, best complete preferred over best partial."""
+
+import heapq
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from lrp_imagecaptioning_tpu.config import FlickrConfig
+from lrp_imagecaptioning_tpu.infer.beam import beam_search
+from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+CFG = FlickrConfig(embedding_dim=8, hidden_dim=8, img_feature_length=4,
+                   img_feature_dim=12, sentence_length=6, drop_rate=0.0)
+VOCAB = 10
+SOS, EOS = 1, 2
+
+
+def _python_beam(step_logits_fn, beam_size, max_len):
+    """Reference-style beam over an oracle step function.
+
+    step_logits_fn(prefix_0based: tuple) -> logits (V,) for the next step.
+    Returns the best caption (1-based, EOS-terminated if complete)."""
+    partial = [(0.0, (SOS - 1,))]  # (score, prefix incl. SOS)
+    complete = []
+    for t in range(max_len):
+        candidates = []
+        for score, prefix in partial:
+            logits = step_logits_fn(prefix)
+            logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+            top = np.argsort(logp)[::-1][:beam_size]
+            for w in top:
+                cand_score = score + logp[w]
+                if w + 1 == EOS:
+                    heapq.heappush(complete, (cand_score, prefix[1:] + (w,)))
+                    if len(complete) > beam_size:
+                        heapq.heappop(complete)
+                candidates.append((cand_score, prefix + (w,)))
+        # pooled top-k over all candidates
+        candidates.sort(key=lambda c: -c[0])
+        partial = candidates[:beam_size]
+    if complete:
+        best_score, best = max(complete)
+        return [w + 1 for w in best], best_score
+    best_score, best = partial[0]
+    return [w + 1 for w in best[1:]], best_score
+
+
+def test_beam_matches_python_reference_heap(rng):
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(3))
+    feat = jnp.asarray(rng.normal(size=(1, CFG.img_feature_length, CFG.img_feature_dim)).astype(np.float32))
+
+    # oracle step: replay the decoder on a prefix
+    consts = cap.prepare_consts(params, feat)
+    emb = params["decoder"]["embedding"]
+
+    def step_logits(prefix):
+        state = cap.decoder.init_state(1, CFG.hidden_dim)
+        cache = None
+        for tok in prefix:
+            state, cache = cap.decoder.step(params["decoder"], consts, state, emb[jnp.asarray([tok])])
+        return np.asarray(cache.logits[0], np.float64)
+
+    expected_tokens, expected_score = _python_beam(step_logits, beam_size=3, max_len=CFG.sentence_length)
+
+    tokens, score = beam_search(cap, params, feat, SOS, EOS, 3, CFG.sentence_length)
+    got = [int(t) for t in np.asarray(tokens)[0] if t != 0]
+    assert got == expected_tokens
+    np.testing.assert_allclose(float(score[0]), expected_score, rtol=1e-4)
+
+
+def test_beam_matches_python_reference_multiple_seeds(rng):
+    """Sweep several weight seeds to cover complete-vs-partial outcomes."""
+    for seed in range(4, 10):
+        cap = build_captioner("adaptiveattention", CFG, VOCAB)
+        params = cap.init_params(jax.random.PRNGKey(seed))
+        feat = jnp.asarray(rng.normal(size=(1, CFG.img_feature_length, CFG.img_feature_dim)).astype(np.float32))
+        consts = cap.prepare_consts(params, feat)
+        emb = params["decoder"]["embedding"]
+
+        def step_logits(prefix):
+            state = cap.decoder.init_state(1, CFG.hidden_dim)
+            cache = None
+            for tok in prefix:
+                state, cache = cap.decoder.step(params["decoder"], consts, state, emb[jnp.asarray([tok])])
+            return np.asarray(cache.logits[0], np.float64)
+
+        exp_tokens, exp_score = _python_beam(step_logits, 3, CFG.sentence_length)
+        tokens, score = beam_search(cap, params, feat, SOS, EOS, 3, CFG.sentence_length)
+        got = [int(t) for t in np.asarray(tokens)[0] if t != 0]
+        assert got == exp_tokens, f"seed {seed}: {got} != {exp_tokens}"
+        np.testing.assert_allclose(float(score[0]), exp_score, rtol=1e-3)
