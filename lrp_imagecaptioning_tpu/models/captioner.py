@@ -72,10 +72,10 @@ class Captioner:
         k1, k2 = jax.random.split(key)
         if self.cfg.img_encoder in ("vgg16", "vgg19"):
             enc = vgg.init_vgg_params(k1, self.cfg.img_encoder, self.cfg.layer_name)
-        elif self.cfg.img_encoder == "resnet50":
+        elif self.cfg.img_encoder in ("resnet50", "resnet101"):
             from . import resnet
 
-            enc = resnet.init_resnet50_params(k1)
+            enc = resnet.init_resnet50_params(k1, depth=self.cfg.img_encoder)
         else:
             raise NotImplementedError(f"encoder {self.cfg.img_encoder!r}")
         return {
@@ -96,7 +96,8 @@ class Captioner:
         else:
             from . import resnet
 
-            feats = resnet.resnet50_apply(params["vgg"], images, compute_dtype)
+            feats = resnet.resnet50_apply(params["vgg"], images, compute_dtype,
+                                          depth=self.cfg.img_encoder)
         B = feats.shape[0]
         return feats.reshape(B, self.cfg.img_feature_length, self.cfg.img_feature_dim).astype(jnp.float32)
 

@@ -25,19 +25,33 @@ import numpy as np
 
 BN_EPS = 1.001e-5  # keras.applications resnet epsilon
 
-_STAGES = [
-    (2, "abc", (64, 64, 256), 1),
-    (3, "abcd", (128, 128, 512), 2),
-    (4, "abcdef", (256, 256, 1024), 2),
-    (5, "abc", (512, 512, 2048), 2),
-]
+def _block_names(n: int):
+    """Keras/caffe block naming: 'a'..'f' for <=6 blocks, else 'a','b1','b2',…
+    (the caffe-style scheme resnet101's 23-block stage uses)."""
+    if n <= 6:
+        return ["abcdef"[i] for i in range(n)]
+    return ["a"] + [f"b{i}" for i in range(1, n)]
 
 
-def _conv_names():
+def _stages(depth: str):
+    counts = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3)}[depth]
+    filters = [(64, 64, 256), (128, 128, 512), (256, 256, 1024), (512, 512, 2048)]
+    return [
+        (stage_idx + 2, _block_names(counts[stage_idx]), filters[stage_idx],
+         1 if stage_idx == 0 else 2)
+        for stage_idx in range(4)
+    ]
+
+
+# default resnet50 topology kept as the module constant
+_STAGES = _stages("resnet50")
+
+
+def _conv_names(depth: str = "resnet50"):
     """Ordered (conv_name, bn_name, kernel_shape_fn, stride) description."""
     out = [("conv1", "bn_conv1", (7, 7, 3, 64), 2)]
     cin = 64
-    for stage, blocks, (f1, f2, f3), stage_stride in _STAGES:
+    for stage, blocks, (f1, f2, f3), stage_stride in _stages(depth):
         for bi, block in enumerate(blocks):
             s = stage_stride if bi == 0 else 1
             base = f"res{stage}{block}_branch"
@@ -51,9 +65,9 @@ def _conv_names():
     return out
 
 
-def init_resnet50_params(key, dtype=jnp.float32):
+def init_resnet50_params(key, dtype=jnp.float32, depth: str = "resnet50"):
     params = {}
-    for conv_name, bn_name, kshape, _ in _conv_names():
+    for conv_name, bn_name, kshape, _ in _conv_names(depth):
         key, sub = jax.random.split(key)
         fan_in = kshape[0] * kshape[1] * kshape[2]
         std = float(np.sqrt(2.0 / fan_in))  # He init
@@ -93,8 +107,11 @@ def _bottleneck(params, x, stage: int, block: str, first: bool, stride: int):
     return jax.nn.relu(y + shortcut)
 
 
-def resnet50_apply(params, x, compute_dtype=None):
-    """(B, 224, 224, 3) preprocessed -> (B, 7, 7, 2048) at 'activation_49'."""
+def resnet50_apply(params, x, compute_dtype=None, depth: str = "resnet50"):
+    """(B, 224, 224, 3) preprocessed -> (B, 7, 7, 2048) at 'activation_49'.
+
+    ``depth='resnet101'`` runs the [3,4,23,3] topology (the reference's
+    second resnet option, config.py:41-45)."""
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     # keras: ZeroPadding2D(3) + 7x7/2 VALID conv
@@ -103,7 +120,7 @@ def resnet50_apply(params, x, compute_dtype=None):
     # 3x3/2 max pool, SAME-from-valid via explicit pad like keras (valid here)
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
-    for stage, blocks, _, stage_stride in _STAGES:
+    for stage, blocks, _, stage_stride in _stages(depth):
         for bi, block in enumerate(blocks):
             x = _bottleneck(params, x, stage, block, first=(bi == 0),
                             stride=stage_stride if bi == 0 else 1)

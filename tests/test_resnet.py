@@ -83,3 +83,12 @@ def test_resnet_h5_roundtrip(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params, restored,
     )
+
+
+def test_resnet101_topology(rng):
+    params = resnet.init_resnet50_params(jax.random.PRNGKey(0), depth="resnet101")
+    assert "res4b22_branch2c" in params  # 23-block stage, caffe naming
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    out = resnet.resnet50_apply(params, x, depth="resnet101")
+    assert out.shape == (1, 2, 2, 2048)
+    assert np.isfinite(np.asarray(out)).all()
