@@ -110,11 +110,15 @@ class EvaluationBbox:
         self._grid = int(round(float(np.sqrt(cfg.img_feature_length))))
         self._upscale = 224 // self._grid
 
-    def evaluate(self, image, img_filename: str):
+    def evaluate(self, image, img_filename: str, explanation=None):
         """-> (lrp_scores, attention_scores, category_key) where scores are
-        {category_id: {str(threshold): best correctness}}."""
+        {category_id: {str(threshold): best correctness}}.
+
+        Pass a precomputed ``explanation`` (e.g. from
+        ``Explainer.analyze_batch``) to skip the per-image dispatch."""
         ann = self._category_dict[img_filename]
-        explanation = self._explainer.analyze(image)
+        if explanation is None:
+            explanation = self._explainer.analyze(image)
         words_categories, category_key = match_words_to_categories(
             explanation.words, ann["categories"]
         )
@@ -153,10 +157,14 @@ def evaluate_dataset(explainer, provider, category_dict: dict, out_json: str,
     n = 0
     for _ in range(provider.test_steps):
         (cap_in, imgs), y, data = next(gen)
-        for img, datum in zip(imgs, data):
-            if datum.img_filename not in category_dict:
-                continue
-            lrp_s, att_s, keys = ev.evaluate(img, datum.img_filename)
+        annotated = [(i, d) for i, d in enumerate(data) if d.img_filename in category_dict]
+        if not annotated:
+            continue
+        # one batched decode+explain dispatch for all annotated images
+        batch = np.stack([imgs[i] for i, _ in annotated])
+        explanations = explainer.analyze_batch(batch)
+        for (i, datum), explanation in zip(annotated, explanations):
+            lrp_s, att_s, keys = ev.evaluate(imgs[i], datum.img_filename, explanation=explanation)
             results[datum.img_filename] = {
                 "lrp": {str(k): v for k, v in lrp_s.items()},
                 "attention": {str(k): v for k, v in att_s.items()},

@@ -190,6 +190,58 @@ class Explainer:
             betas = jnp.zeros((T,), maps.dtype)
         return maps, r_feat, r_words, atts, betas
 
+    # -- batched programs --------------------------------------------------
+
+    def _decode_batch_impl(self, params, images):
+        feat_grid = self.captioner.encode(params, images)
+        tokens, scores = beam_search(
+            self.captioner, params, feat_grid,
+            self._pp.SOS_TOKEN_LABEL_ENCODED, self._pp.EOS_TOKEN_LABEL_ENCODED,
+            self._beam_size, self._max_len,
+        )
+        return tokens, scores
+
+    def _explain_batch_impl(self, params, images, tokens_1based):
+        """vmapped analyze over a fixed batch: one dispatch for B images."""
+        return jax.vmap(lambda im, tk: self._explain_impl(params, im, tk))(images, tokens_1based)
+
+    def analyze_batch(self, images, tokens_1based=None) -> list:
+        """Batched analyze: (B, H, W, 3) images -> list[Explanation].
+
+        One jitted decode + one jitted explain dispatch for the whole batch —
+        at dataset scale this amortizes the per-call host<->device latency the
+        per-image path pays twice per image."""
+        images = jnp.asarray(images)
+        if not hasattr(self, "_decode_batch"):
+            self._decode_batch = jax.jit(self._decode_batch_impl)
+            self._explain_batch = jax.jit(self._explain_batch_impl)
+        if tokens_1based is None:
+            tokens_1based, _ = self._decode_batch(self.params, images)
+        toks = jnp.asarray(tokens_1based, jnp.int32)
+        maps, r_feat, r_words, atts, betas = self._explain_batch(self.params, images, toks)
+        out = []
+        eos = self._pp.EOS_TOKEN_LABEL_ENCODED
+        toks_np = np.asarray(toks)
+        for b in range(images.shape[0]):
+            words, keep = [], []
+            for t, tok in enumerate(toks_np[b]):
+                if tok == 0 or tok == eos:
+                    break
+                words.append(self._pp.word_of[int(tok)])
+                keep.append(t)
+            keep = np.asarray(keep, np.int64)
+            out.append(Explanation(
+                caption=" ".join(words + [self._pp.EOS_TOKEN]),
+                words=words,
+                tokens_1based=toks_np[b],
+                relevance_maps=np.asarray(maps[b])[keep],
+                feat_relevance=np.asarray(r_feat[b])[keep],
+                attentions=np.asarray(atts[b])[keep],
+                word_relevances=np.asarray(r_words[b])[keep],
+                betas=np.asarray(betas[b])[keep],
+            ))
+        return out
+
     # -- public API --------------------------------------------------------
 
     def predict_caption(self, image) -> tuple[np.ndarray, str]:

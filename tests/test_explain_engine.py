@@ -71,3 +71,19 @@ def test_lrp_decoder_relevance_concentrates_on_inputs(rng):
     # word's only input is SOS, so its row is all-zero; later rows reach 1
     np.testing.assert_allclose(m[0], 0.0, atol=1e-6)
     np.testing.assert_allclose(m[1:], 1.0, rtol=1e-4)
+
+
+def test_analyze_batch_matches_per_image(rng):
+    """analyze_batch must produce the same explanations as per-image analyze."""
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method="lrp", beam_size=2)
+    images = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    batch_results = ex.analyze_batch(images)
+    assert len(batch_results) == 3
+    for b in range(3):
+        single = ex.analyze(images[b], tokens_1based=batch_results[b].tokens_1based)
+        assert single.words == batch_results[b].words
+        np.testing.assert_allclose(
+            single.relevance_maps, batch_results[b].relevance_maps, rtol=1e-4, atol=1e-5
+        )
