@@ -49,9 +49,12 @@ class ImagePreprocessor:
     IMAGE_SIZE = IMAGE_SIZE
 
     def __init__(self, encoder: str = "vgg16", image_augmentation: bool = False, seed: int = 0):
-        if encoder not in ("vgg16", "vgg19"):
+        if encoder not in ("vgg16", "vgg19", "resnet50", "resnet101", "inception_v3"):
             raise NotImplementedError(f"encoder {encoder!r} not supported yet")
         self.encoder = encoder
+        # per-encoder input size / preprocessing (preprocessors.py:10-53:
+        # vgg/resnet use caffe BGR at 224; inception scales to [-1,1] at 299)
+        self._size = (299, 299) if encoder == "inception_v3" else IMAGE_SIZE
         self._augment = image_augmentation
         self._rng = np.random.default_rng(seed)
 
@@ -65,16 +68,22 @@ class ImagePreprocessor:
         try:
             from . import loader_native
 
-            if loader_native.available() and not (self._augment and random_transform):
+            if (self.encoder != "inception_v3"  # native loader is 224/caffe
+                    and loader_native.available()
+                    and not (self._augment and random_transform)):
                 return loader_native.load_batch_vgg(list(img_paths))
         except Exception:
             pass
         return self.preprocess_batch(self.preprocess_images(img_paths, random_transform))
 
     def _preprocess_one(self, img_path: str, random_transform: bool) -> np.ndarray:
-        arr = load_img_array(img_path)
+        arr = load_img_array(img_path, target_size=self._size)
         if self._augment and random_transform:
             arr = self._random_transform(arr)
+        if self.encoder == "inception_v3":
+            from ..models.inception import inception_preprocess
+
+            return inception_preprocess(arr)
         return vgg_preprocess(arr)
 
     # -- augmentation (reference params: rotation 40, shifts 0.2, shear 0.2,

@@ -76,7 +76,10 @@ def render_explanation(explanation, raw_rgb_224: np.ndarray, save_folder: str,
         atn = (atn - atn.min()) / (rng if rng else 1.0) * 255
         overlay = np.zeros((*atn.shape, 3), np.uint8)
         overlay[:, :, 0] = atn.astype(np.uint8)
-        blend = Image.blend(img_original, Image.fromarray(overlay), 0.7)
+        overlay_img = Image.fromarray(overlay)
+        if overlay_img.size != img_original.size:  # e.g. inception 296 vs 299
+            overlay_img = overlay_img.resize(img_original.size)
+        blend = Image.blend(img_original, overlay_img, 0.7)
         axes[i].set_title(word, fontsize=18)
         axes[i].imshow(blend)
     for ax in axes:

@@ -76,6 +76,10 @@ class Captioner:
             from . import resnet
 
             enc = resnet.init_resnet50_params(k1, depth=self.cfg.img_encoder)
+        elif self.cfg.img_encoder == "inception_v3":
+            from . import inception
+
+            enc = inception.init_inception_v3_params(k1)
         else:
             raise NotImplementedError(f"encoder {self.cfg.img_encoder!r}")
         return {
@@ -92,6 +96,12 @@ class Captioner:
         if self.cfg.img_encoder in ("vgg16", "vgg19"):
             feats = vgg.vgg_apply(
                 params["vgg"], images, self.cfg.img_encoder, self.cfg.layer_name, compute_dtype
+            )
+        elif self.cfg.img_encoder == "inception_v3":
+            from . import inception
+
+            feats = inception.inception_v3_apply(
+                params["vgg"], images, compute_dtype, until=self.cfg.layer_name
             )
         else:
             from . import resnet
