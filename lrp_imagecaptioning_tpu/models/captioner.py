@@ -68,7 +68,10 @@ class Captioner:
     vocab_size: int
     decoder: Any               # module: adaptive | gridtd
 
-    def init_params(self, key):
+    def init_params(self, key, vocab_words=None, word_vector_path=None):
+        """``vocab_words`` (model-id order) + ``cfg.pretrained_word_vector``
+        ('glove'|'fasttext') seed the embedding table from a vector file
+        (reference _build_word_embedding, model.py:80-93)."""
         k1, k2 = jax.random.split(key)
         if self.cfg.img_encoder in ("vgg16", "vgg19"):
             enc = vgg.init_vgg_params(k1, self.cfg.img_encoder, self.cfg.layer_name)
@@ -82,9 +85,18 @@ class Captioner:
             enc = inception.init_inception_v3_params(k1)
         else:
             raise NotImplementedError(f"encoder {self.cfg.img_encoder!r}")
+        decoder_params = self.decoder.init_params(k2, self.vocab_size, self.cfg)
+        if self.cfg.pretrained_word_vector and vocab_words is not None:
+            from .word_vectors import init_embedding
+
+            decoder_params["embedding"] = jnp.asarray(init_embedding(
+                k2, list(vocab_words), self.cfg.embedding_dim,
+                pretrained=self.cfg.pretrained_word_vector,
+                path=word_vector_path,
+            ))
         return {
             "vgg": enc,  # key kept for checkpoint compatibility across encoders
-            "decoder": self.decoder.init_params(k2, self.vocab_size, self.cfg),
+            "decoder": decoder_params,
         }
 
     def encode(self, params, images, compute_dtype=None):

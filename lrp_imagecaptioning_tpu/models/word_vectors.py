@@ -30,7 +30,7 @@ class WordVector:
         V = len(self._vocab)
         if rng_key is None:
             rng_key = jax.random.PRNGKey(0)
-        table = np.asarray(self._initializer(rng_key, (V, self._dim)))
+        table = np.array(self._initializer(rng_key, (V, self._dim)))  # writable copy
         hit = 0
         for i, word in enumerate(self._vocab):
             v = vectors.get(word)

@@ -61,7 +61,14 @@ class Trainer:
 
         key = jax.random.PRNGKey(seed)
         self._rng, init_key = jax.random.split(key)
-        self.params = self.captioner.init_params(init_key)
+        vocab_words = None
+        if config.pretrained_word_vector:
+            # vocabs[i] is the word for model id i (1-based token i+1)
+            vocab_words = self.provider.vocabs
+        self.params = self.captioner.init_params(
+            init_key, vocab_words=vocab_words,
+            word_vector_path=getattr(config, "word_vector_path", None),
+        )
         self.opt_state = self.optimizer.init(self.params)
 
         if mesh is not None:
