@@ -74,14 +74,17 @@ class Explainer:
     def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None):
         if method not in METHODS:
             raise ValueError(f"method {method!r} not in {METHODS}")
-        if captioner.cfg.img_encoder not in ("vgg16", "vgg19") and method in ("lrp", "guided_gradcam"):
-            # parity note: the reference explainers support rule-based CNN
-            # passes for VGG (and partially inception) only; resnet captioners
-            # explain via the autodiff gradient paths
+        enc = captioner.cfg.img_encoder
+        rule_encoders = ("vgg16", "vgg19", "resnet50", "resnet101")
+        if method == "lrp" and enc not in rule_encoders:
             raise NotImplementedError(
-                f"{method!r} CNN rules are defined for VGG encoders; use "
-                "'gradient' or 'input_times_gradient' with "
-                f"{captioner.cfg.img_encoder!r}"
+                f"'lrp' CNN rules are defined for {rule_encoders}; use "
+                f"'gradient' or 'input_times_gradient' with {enc!r}"
+            )
+        if method == "guided_gradcam" and enc not in ("vgg16", "vgg19"):
+            raise NotImplementedError(
+                f"'guided_gradcam' is VGG-only (as in the reference); use a "
+                f"gradient method with {enc!r}"
             )
         self.captioner = captioner
         self.params = params
@@ -147,8 +150,15 @@ class Explainer:
         # CNN backward, word-batched; seeds (T, 14, 14, 512)
         g = int(round(float(np.sqrt(cap.cfg.img_feature_length))))
         seeds = r_feat.reshape(T, g, g, cap.cfg.img_feature_dim)
-        if cap.cfg.img_encoder not in ("vgg16", "vgg19"):
-            # generic autodiff path (resnet50 etc.): one VJP per word seed
+        if cap.cfg.img_encoder.startswith("resnet") and self.method == "lrp":
+            from .resnet_lrp import resnet_lrp_wordbatched
+
+            maps = resnet_lrp_wordbatched(
+                params["vgg"], image[None], seeds, depth=cap.cfg.img_encoder
+            )
+        elif cap.cfg.img_encoder not in ("vgg16", "vgg19"):
+            # generic autodiff path (inception / resnet gradients):
+            # one VJP per word seed
             def enc(img):
                 return cap.encode(params, img[None])[0]        # (L, D)
 

@@ -1,0 +1,153 @@
+"""Rule-based LRP through ResNet (BatchNorm + residual Add reverse rules).
+
+Implements the vendored iNNvestigate special reverse layers the VGG path
+never needs (relevance_analyzer.py:197-316):
+
+* BatchNorm:  Rin = x * (y - beta) * R / stab((x - mu) * y)
+  — BN decomposes into subtract / scale / add; the scale is LRP-transparent,
+  the mean-shift and beta-shift reweight (BatchNormalizationReverseLayer).
+* Add:        Rin_i = x_i * (R / stab(sum_j x_j))
+  — relevance splits proportionally to contributions (AddReverseLayer).
+* Conv:       alpha1beta0 (PresetA), bias-free in resnet.
+* relu passes relevance unchanged; the overlapping 3x3/2 stem max pool
+  reverses winner-take-all via its VJP (correctness-grade: overlapping
+  reduce_window VJP is slow on TPU — this path is for analysis, not the
+  benchmark loop).
+
+This EXCEEDS the reference's practical surface: its explainers hardcode
+VGG/Inception grids and cannot explain resnet captioners at all
+(explainers.py:236-241).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.resnet import BN_EPS, _stages
+from ..ops.lrp_conv import lrp_conv_alpha_beta
+from ..ops.lrp_core import EPS_KERAS, safe_divide
+
+
+def _sign_stab(z, eps=EPS_KERAS):
+    return z + jnp.where(z >= 0, eps, -eps)
+
+
+def lrp_bn(r, x, y, mean, beta, eps=EPS_KERAS):
+    """BatchNormalizationReverseLayer.apply (relevance_analyzer.py:239-256)."""
+    num = x * (y - beta) * r
+    den = _sign_stab((x - mean) * y, eps)
+    return safe_divide(num, den, eps)
+
+
+def lrp_add(r, xs, eps=EPS_KERAS):
+    """AddReverseLayer.apply: proportional split over the summands."""
+    z = sum(xs)
+    s = safe_divide(r, _sign_stab(z, eps), eps)
+    return [x * s for x in xs]
+
+
+def _maxpool_3x3s2(x):
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+
+
+def _lrp_maxpool_3x3s2(r, x):
+    _, vjp = jax.vjp(_maxpool_3x3s2, x)
+    (dx,) = vjp(r)
+    return dx
+
+
+def _forward_cached(params, image, depth):
+    """Forward pass caching every tensor the backward needs.
+
+    cache[name] = {'in': conv input, 'z': conv out (pre-BN), 'bn': BN out}
+    plus structural tensors keyed by stage/block."""
+    from ..models.resnet import _bn, _conv
+
+    cache = {}
+
+    def conv_bn(name, bn_name, x, stride, padding, relu=True):
+        z = _conv(params[name], x, stride, padding)
+        y = _bn(params[bn_name], z)
+        cache[name] = {"in": x, "z": z, "bn": y}
+        return jax.nn.relu(y) if relu else y
+
+    x = jnp.pad(image, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    cache["_stem_pad_in"] = image
+    x = conv_bn("conv1", "bn_conv1", x, 2, "VALID")
+    cache["_stem_pool_in"] = x
+    x = _maxpool_3x3s2(x)
+
+    for stage, blocks, _, stage_stride in _stages(depth):
+        for bi, block in enumerate(blocks):
+            s = stage_stride if bi == 0 else 1
+            base = f"res{stage}{block}_branch"
+            bn = f"bn{stage}{block}_branch"
+            cache[f"_blockin_{stage}{block}"] = x
+            if bi == 0:
+                shortcut = conv_bn(base + "1", bn + "1", x, s, "VALID", relu=False)
+            else:
+                shortcut = x
+            y = conv_bn(base + "2a", bn + "2a", x, s, "VALID")
+            y = conv_bn(base + "2b", bn + "2b", y, 1, "SAME")
+            y = conv_bn(base + "2c", bn + "2c", y, 1, "VALID", relu=False)
+            cache[f"_add_{stage}{block}"] = (y, shortcut)
+            x = jax.nn.relu(y + shortcut)
+    return x, cache
+
+
+def _rev_conv_bn(params, cache, name, bn_name, r, stride, padding, nonneg):
+    """Reverse relu (identity) -> BN rule -> alpha1beta0 conv rule."""
+    c = cache[name]
+    p = params[bn_name]
+    r = lrp_bn(r, c["z"], c["bn"], p["moving_mean"], p["beta"])
+    return lrp_conv_alpha_beta(
+        r, c["in"], params[name]["kernel"], None, alpha=1.0, beta=0.0,
+        stride=stride, padding=padding, input_nonneg=nonneg,
+    )
+
+
+def _backward(params, cache, relevance_seed, depth):
+    r = relevance_seed
+
+    for stage, blocks, _, stage_stride in reversed(_stages(depth)):
+        for bi, block in reversed(list(enumerate(blocks))):
+            s = stage_stride if bi == 0 else 1
+            base = f"res{stage}{block}_branch"
+            bn = f"bn{stage}{block}_branch"
+            y, shortcut = cache[f"_add_{stage}{block}"]
+            r_branch, r_short = lrp_add(r, [y, shortcut])
+            # main branch: 2c -> 2b -> 2a (inputs of 2b/2c are post-relu)
+            r_branch = _rev_conv_bn(params, cache, base + "2c", bn + "2c", r_branch, 1, "VALID", True)
+            r_branch = _rev_conv_bn(params, cache, base + "2b", bn + "2b", r_branch, 1, "SAME", True)
+            block_in_nonneg = True  # every block input is post-relu/post-pool
+            r_branch = _rev_conv_bn(params, cache, base + "2a", bn + "2a", r_branch, s, "VALID", block_in_nonneg)
+            if bi == 0:
+                r_short = _rev_conv_bn(params, cache, base + "1", bn + "1", r_short, s, "VALID", block_in_nonneg)
+            r = r_branch + r_short
+
+    # stem: maxpool WTA, then conv1+BN back through the zero-pad (crop)
+    r = _lrp_maxpool_3x3s2(r, cache["_stem_pool_in"])
+    r = _rev_conv_bn(params, cache, "conv1", "bn_conv1", r, 2, "VALID", False)
+    return r[:, 3:-3, 3:-3, :]
+
+
+def resnet_lrp_preset_a(params, image, relevance_seed, depth: str = "resnet50"):
+    """PresetA-style LRP from the final conv5 relu back to the input image.
+
+    image: (B, H, W, 3); relevance_seed: (B, H/32, W/32, 2048).
+    Returns (B, H, W, 3)."""
+    _, cache = _forward_cached(params, image, depth)
+    return _backward(params, cache, relevance_seed, depth)
+
+
+def resnet_lrp_wordbatched(params, image, relevance_seeds, depth: str = "resnet50"):
+    """Per-word LRP sharing one forward: image (1, H, W, 3),
+    seeds (W, H/32, W/32, 2048) -> (W, H, W, 3)."""
+    _, cache = _forward_cached(params, image, depth)
+
+    def one(seed):
+        return _backward(params, cache, seed[None], depth)[0]
+
+    return jax.vmap(one)(relevance_seeds)

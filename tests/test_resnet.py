@@ -59,7 +59,7 @@ def test_resnet_captioner_decode_and_gradient_explain(rng):
     assert np.abs(result.relevance_maps).sum() > 0
 
     with pytest.raises(NotImplementedError):
-        Explainer(cap, params, PP(), method="lrp")
+        Explainer(cap, params, PP(), method="guided_gradcam")
 
 
 def test_resnet_h5_roundtrip(tmp_path):
@@ -92,3 +92,59 @@ def test_resnet101_topology(rng):
     out = resnet.resnet50_apply(params, x, depth="resnet101")
     assert out.shape == (1, 2, 2, 2048)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resnet_bn_add_lrp_rules(rng):
+    """BN and Add reverse rules: iNNvestigate semantics + conservation."""
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import lrp_add, lrp_bn
+
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
+    mean = jnp.asarray(rng.normal(size=(3,)).astype(np.float32))
+    gamma = jnp.asarray(rng.uniform(0.5, 2.0, size=(3,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(3,)).astype(np.float32))
+    y = (x - mean) * gamma + beta
+    r = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    rin = lrp_bn(r, x, y, mean, beta)
+    # reference formula: x*(y-beta)*r / stab((x-mu)*y)
+    expected = np.asarray(x) * (np.asarray(y) - np.asarray(beta)) * np.asarray(r)
+    den = (np.asarray(x) - np.asarray(mean)) * np.asarray(y)
+    den = den + np.where(den >= 0, 1e-7, -1e-7)
+    np.testing.assert_allclose(np.asarray(rin), expected / den, rtol=1e-4, atol=1e-5)
+
+    a = jnp.abs(jnp.asarray(rng.normal(size=(5,)).astype(np.float32)))
+    b = jnp.abs(jnp.asarray(rng.normal(size=(5,)).astype(np.float32)))
+    ra, rb = lrp_add(jnp.ones((5,)), [a, b])
+    np.testing.assert_allclose(np.asarray(ra + rb), 1.0, rtol=1e-4)
+
+
+def test_resnet_lrp_end_to_end(rng):
+    """Full rule-based LRP through a resnet50 on small inputs: shapes,
+    finiteness, and nonzero relevance reaching the input."""
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import resnet_lrp_preset_a
+
+    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    seed = jnp.asarray(rng.normal(size=(1, 2, 2, 2048)).astype(np.float32))
+    rel = resnet_lrp_preset_a(params, img, seed)
+    assert rel.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(rel)).all()
+    assert np.abs(np.asarray(rel)).sum() > 0
+
+
+def test_resnet_lrp_via_engine(rng):
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+
+    cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, PP(), method="lrp", beam_size=2)
+    image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
+    result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
+    assert result.relevance_maps.shape == (2, 64, 64, 3)
+    assert np.isfinite(result.relevance_maps).all()
