@@ -74,12 +74,6 @@ class Explainer:
     def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None):
         if method not in METHODS:
             raise ValueError(f"method {method!r} not in {METHODS}")
-        enc = captioner.cfg.img_encoder
-        if method == "guided_gradcam" and enc not in ("vgg16", "vgg19"):
-            raise NotImplementedError(
-                f"'guided_gradcam' is VGG-only (as in the reference); use a "
-                f"gradient method with {enc!r}"
-            )
         self.captioner = captioner
         self.params = params
         self._pp = caption_pp
@@ -157,10 +151,14 @@ class Explainer:
                 params["vgg"], image[None], seeds, until=cap.cfg.layer_name
             )
         elif cap.cfg.img_encoder not in ("vgg16", "vgg19"):
-            # generic autodiff path (inception / resnet gradients):
-            # one VJP per word seed
+            # generic autodiff path (inception / resnet): one VJP per word
+            # seed; guided_gradcam swaps in the guided-backprop relu
+            from .cnn_gradient import _guided_relu
+
+            relu_fn = _guided_relu if self.method == "guided_gradcam" else None
+
             def enc(img):
-                return cap.encode(params, img[None])[0]        # (L, D)
+                return cap.encode(params, img[None], relu_fn=relu_fn)[0]  # (L, D)
 
             _, enc_vjp = jax.vjp(enc, image)
 
@@ -171,6 +169,15 @@ class Explainer:
             maps = jax.vmap(one_seed)(seeds)
             if self.method == "input_times_gradient":
                 maps = maps * image[None]
+            elif self.method == "guided_gradcam":
+                feat_hw = feat_grid[0].reshape(g, g, cap.cfg.img_feature_dim)
+
+                def one_cam(m, s):
+                    cam = grad_cam(feat_hw, s, upscale=max(image.shape[0] // g, 1))
+                    cam = jax.image.resize(cam, image.shape[:2], "bilinear")
+                    return m * cam[:, :, None]
+
+                maps = jax.vmap(one_cam)(maps, seeds)
         elif self.method == "lrp":
             maps = vgg_lrp_preset_a_wordbatched(
                 params["vgg"], image[None], seeds, cap.cfg.img_encoder, cap.cfg.layer_name

@@ -99,7 +99,7 @@ class Captioner:
             "decoder": decoder_params,
         }
 
-    def encode(self, params, images, compute_dtype=None):
+    def encode(self, params, images, compute_dtype=None, relu_fn=None):
         """images (B,224,224,3) preprocessed -> (B, L, D) feature grid.
 
         Encoder dispatch mirrors the reference builders (model.py:418-429):
@@ -107,19 +107,21 @@ class Captioner:
         relu ('activation_49', 7x7x2048, config.py:37)."""
         if self.cfg.img_encoder in ("vgg16", "vgg19"):
             feats = vgg.vgg_apply(
-                params["vgg"], images, self.cfg.img_encoder, self.cfg.layer_name, compute_dtype
+                params["vgg"], images, self.cfg.img_encoder, self.cfg.layer_name,
+                compute_dtype, relu_fn=relu_fn,
             )
         elif self.cfg.img_encoder == "inception_v3":
             from . import inception
 
             feats = inception.inception_v3_apply(
-                params["vgg"], images, compute_dtype, until=self.cfg.layer_name
+                params["vgg"], images, compute_dtype, until=self.cfg.layer_name,
+                relu_fn=relu_fn,
             )
         else:
             from . import resnet
 
             feats = resnet.resnet50_apply(params["vgg"], images, compute_dtype,
-                                          depth=self.cfg.img_encoder)
+                                          depth=self.cfg.img_encoder, relu_fn=relu_fn)
         B = feats.shape[0]
         return feats.reshape(B, self.cfg.img_feature_length, self.cfg.img_feature_dim).astype(jnp.float32)
 

@@ -166,8 +166,10 @@ def init_inception_v3_params(key, dtype=jnp.float32):
     return params
 
 
-def inception_v3_apply(params, x, compute_dtype=None, until: str = "mixed10"):
+def inception_v3_apply(params, x, compute_dtype=None, until: str = "mixed10", relu_fn=None):
     """(B, 299, 299, 3) preprocessed ([-1,1]) -> (B, 8, 8, 2048) at mixed10."""
+    if relu_fn is None:
+        relu_fn = jax.nn.relu
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     tensors = {"input": x}
@@ -182,7 +184,7 @@ def inception_v3_apply(params, x, compute_dtype=None, until: str = "mixed10"):
             pn = params[name]
             inv = jax.lax.rsqrt(pn["bn_var"] + BN_EPS)
             y = (y - pn["bn_mean"]) * inv * pn["bn_gamma"] + pn["bn_beta"]
-            tensors[name] = jax.nn.relu(y)
+            tensors[name] = relu_fn(y)
         elif op[0] == "pool":
             _, name, src, kind, w, s, p = op
             t = tensors[src]

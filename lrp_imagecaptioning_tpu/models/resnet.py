@@ -94,36 +94,38 @@ def _conv(p, x, stride, padding):
     )
 
 
-def _bottleneck(params, x, stage: int, block: str, first: bool, stride: int):
+def _bottleneck(params, x, stage: int, block: str, first: bool, stride: int, relu_fn=jax.nn.relu):
     base = f"res{stage}{block}_branch"
     bn = f"bn{stage}{block}_branch"
     if first:
         shortcut = _bn(params[bn + "1"], _conv(params[base + "1"], x, stride, "VALID"))
     else:
         shortcut = x
-    y = jax.nn.relu(_bn(params[bn + "2a"], _conv(params[base + "2a"], x, stride, "VALID")))
-    y = jax.nn.relu(_bn(params[bn + "2b"], _conv(params[base + "2b"], y, 1, "SAME")))
+    y = relu_fn(_bn(params[bn + "2a"], _conv(params[base + "2a"], x, stride, "VALID")))
+    y = relu_fn(_bn(params[bn + "2b"], _conv(params[base + "2b"], y, 1, "SAME")))
     y = _bn(params[bn + "2c"], _conv(params[base + "2c"], y, 1, "VALID"))
-    return jax.nn.relu(y + shortcut)
+    return relu_fn(y + shortcut)
 
 
-def resnet50_apply(params, x, compute_dtype=None, depth: str = "resnet50"):
+def resnet50_apply(params, x, compute_dtype=None, depth: str = "resnet50", relu_fn=None):
     """(B, 224, 224, 3) preprocessed -> (B, 7, 7, 2048) at 'activation_49'.
 
     ``depth='resnet101'`` runs the [3,4,23,3] topology (the reference's
     second resnet option, config.py:41-45)."""
+    if relu_fn is None:
+        relu_fn = jax.nn.relu
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     # keras: ZeroPadding2D(3) + 7x7/2 VALID conv
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    x = jax.nn.relu(_bn(params["bn_conv1"], _conv(params["conv1"], x, 2, "VALID")))
+    x = relu_fn(_bn(params["bn_conv1"], _conv(params["conv1"], x, 2, "VALID")))
     # 3x3/2 max pool, SAME-from-valid via explicit pad like keras (valid here)
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
     for stage, blocks, _, stage_stride in _stages(depth):
         for bi, block in enumerate(blocks):
             x = _bottleneck(params, x, stage, block, first=(bi == 0),
-                            stride=stage_stride if bi == 0 else 1)
+                            stride=stage_stride if bi == 0 else 1, relu_fn=relu_fn)
     return x.astype(jnp.float32)
 
 

@@ -60,15 +60,18 @@ def init_vgg_params(key, arch: str = "vgg16", until: str = "block5_conv3", dtype
     return params
 
 
-def vgg_apply(params, x, arch: str = "vgg16", until: str = "block5_conv3", compute_dtype=None):
+def vgg_apply(params, x, arch: str = "vgg16", until: str = "block5_conv3", compute_dtype=None,
+              relu_fn=None):
     """Forward pass -> feature map (B, 14, 14, 512) at ``until``."""
+    if relu_fn is None:
+        relu_fn = jax.nn.relu
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     for op in vgg_layers(arch, until):
         if op[0] == "conv":
             p = params[op[1]]
             k = p["kernel"].astype(x.dtype) if compute_dtype is not None else p["kernel"]
-            x = jax.nn.relu(conv2d(x, k) + p["bias"].astype(x.dtype))
+            x = relu_fn(conv2d(x, k) + p["bias"].astype(x.dtype))
         else:
             x = maxpool2d(x)
     return x

@@ -58,8 +58,11 @@ def test_resnet_captioner_decode_and_gradient_explain(rng):
     assert np.isfinite(result.relevance_maps).all()
     assert np.abs(result.relevance_maps).sum() > 0
 
-    with pytest.raises(NotImplementedError):
-        Explainer(cap, params, PP(), method="guided_gradcam")
+    # guided-gradcam also works generically (guided relu + CAM resize)
+    ex_ggc = Explainer(cap, params, PP(), method="guided_gradcam", beam_size=2)
+    r2 = ex_ggc.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
+    assert r2.relevance_maps.shape == (2, 64, 64, 3)
+    assert np.isfinite(r2.relevance_maps).all()
 
 
 def test_resnet_h5_roundtrip(tmp_path):
