@@ -25,9 +25,23 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def make_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
-    """1-D data-parallel mesh, or 2-D (data, model) when model_parallel > 1."""
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
+              devices=None) -> Mesh:
+    """1-D data-parallel mesh, or 2-D (data, model) when model_parallel > 1.
+
+    When the default backend has fewer than ``n_devices`` devices (e.g. one
+    real TPU) but the CPU backend carries virtual devices
+    (--xla_force_host_platform_device_count), the mesh falls back to CPU —
+    the dryrun configuration."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                cpu = jax.devices("cpu")
+                if len(cpu) >= n_devices:
+                    devices = cpu
+            except RuntimeError:
+                pass
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
