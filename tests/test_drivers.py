@@ -80,3 +80,28 @@ def test_caption_service(rng):
     assert svc.stats["images"] == 8
     for c in out3 + out5:
         assert isinstance(c, str)
+
+
+def test_beam_search_inference_api(tmp_path, monkeypatch, rng):
+    """BeamSearchInference class end-to-end over the synthetic provider."""
+    monkeypatch.chdir(tmp_path)
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.data.provider import DatasetProvider
+    from lrp_imagecaptioning_tpu.infer.api import BeamSearchInference
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+    import jax as _jax
+
+    # synthetic images are 224x224 -> the standard 14x14 VGG grid
+    cfg = CFG.replace(rare_words_handling="nothing",
+                      img_feature_length=196, img_feature_dim=512)
+    ds = SyntheticDataset(cfg, n_train=4, n_val=2, n_test=2,
+                          cache_dir=str(tmp_path / "imgs"))
+    provider = DatasetProvider(ds, cfg)
+    cap = build_captioner("adaptiveattention", cfg, provider.vocab_size)
+    params = cap.init_params(_jax.random.PRNGKey(0))
+    inf = BeamSearchInference(cap, params, provider, beam_size=2,
+                              max_caption_length=cfg.sentence_length)
+    metrics = inf.evaluate_test_set()
+    assert "Bleu_1" in metrics and "CIDEr" in metrics
+    for v in metrics.values():
+        assert np.isfinite(v)
