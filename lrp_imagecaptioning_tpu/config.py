@@ -55,6 +55,7 @@ class Config:
 
     # numerics (new, TPU-specific)
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' (matmul inputs)
+    remat_encoder: bool = False        # jax.checkpoint the CNN in training
     # loss semantics: 'from_logits' = softmax-CE on logits (adaptive model,
     # model.py:95-103); 'keras_categorical' = reference grid-TD quirk of
     # categorical_crossentropy applied directly to logits (model.py:662-664).

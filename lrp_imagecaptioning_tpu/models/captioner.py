@@ -129,7 +129,14 @@ class Captioner:
         return self.decoder.prepare_consts(params["decoder"], feat_grid)
 
     def forward_train(self, params, images, captions_in, dropout_rng=None):
-        feat_grid = self.encode(params, images)
+        if getattr(self.cfg, "remat_encoder", False):
+            # rematerialize the CNN in the backward pass: trades encoder
+            # recompute for not storing its activations — enables much larger
+            # per-chip batches (jax.checkpoint)
+            encode = jax.checkpoint(lambda p, im: self.encode(p, im))
+            feat_grid = encode(params, images)
+        else:
+            feat_grid = self.encode(params, images)
         drop = self.cfg.drop_rate if dropout_rng is not None else 0.0
         return self.decoder.forward_train(
             params["decoder"], feat_grid, captions_in, self.cfg, dropout_rng, drop

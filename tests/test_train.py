@@ -180,3 +180,40 @@ def test_lrp_weights_semantics(rng):
     assert w[0, 0, caption0[0, 0]] != 1.0
     off = np.delete(w[0, 0], caption0[0, 0])
     assert (off == 1.0).all()
+
+
+def test_remat_encoder_same_loss_and_grads(rng):
+    """jax.checkpoint on the encoder must not change values or gradients."""
+    cfg_plain = CFG
+    cfg_remat = CFG.replace(remat_encoder=True)
+    images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    caps = jnp.asarray(rng.integers(0, VOCAB, size=(2, 5)).astype(np.int32))
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, VOCAB, size=(2, 5))), VOCAB)
+    outs = {}
+    for name, cfg in [("plain", cfg_plain), ("remat", cfg_remat)]:
+        cap = build_captioner("adaptiveattention", cfg, VOCAB)
+        params = cap.init_params(jax.random.PRNGKey(0))
+        loss, grads = jax.value_and_grad(
+            lambda p: cap.loss(p, images, caps, y)
+        )(params)
+        outs[name] = (float(loss), grads)
+    assert outs["plain"][0] == outs["remat"][0]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        outs["plain"][1], outs["remat"][1],
+    )
+
+
+def test_lrp_finetune_quantile_mode(rng):
+    """The 'quantile' reduce mode (jnp.quantile under jit) compiles and runs."""
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import make_lrp_finetune_step
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-5)
+    opt_state = opt.init(params)
+    stop_table = np.zeros(VOCAB + 1, bool)
+    step = make_lrp_finetune_step(cap, opt, stop_table, 1, 2, mode="quantile", donate=False)
+    images, caps, y = _batch(rng, B=2, T=5)
+    _, _, m = step(params, opt_state, images, caps, y, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
