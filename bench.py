@@ -108,6 +108,12 @@ def build():
         heatmaps = stage_cnn_lrp(params, images, r_feat)
         return tokens, heatmaps
 
+    if os.environ.get("LRPIC_BENCH_FUSED"):
+        # experimental: one program, one dispatch per iteration. Measured on
+        # the v5e remote-compile backend this FAILS (TPU FailedPrecondition —
+        # the combined program exceeds what that path handles); the three-stage
+        # pipeline is the supported configuration.
+        return jax.jit(caption_and_explain), params
     return caption_and_explain, params
 
 
