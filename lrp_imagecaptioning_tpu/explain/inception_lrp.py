@@ -98,8 +98,13 @@ def _backward(params, cache, relevance_seed, until="mixed10"):
             c = cache[name]
             x = c["in"]
             if c["kind"] == "max":
-                _, vjp = jax.vjp(lambda t: _pool(t, "max", c["w"], c["s"], c["p"]), x)
-                (rin,) = vjp(r)
+                if c["p"] == "VALID":
+                    from ..ops.lrp_conv import lrp_maxpool_overlapping_wta
+
+                    rin = lrp_maxpool_overlapping_wta(r, x, c["w"], c["s"])
+                else:
+                    _, vjp = jax.vjp(lambda t: _pool(t, "max", c["w"], c["s"], c["p"]), x)
+                    (rin,) = vjp(r)
             else:
                 # AveragePoolingReverseLayer: z-rule through the linear pool
                 z = _pool(x, "avg", c["w"], c["s"], c["p"])

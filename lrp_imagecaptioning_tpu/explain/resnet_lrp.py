@@ -53,9 +53,11 @@ def _maxpool_3x3s2(x):
 
 
 def _lrp_maxpool_3x3s2(r, x):
-    _, vjp = jax.vjp(_maxpool_3x3s2, x)
-    (dx,) = vjp(r)
-    return dx
+    # strided-tap WTA (ops/lrp_conv.py): exact VJP semantics without the
+    # select_and_scatter slow path
+    from ..ops.lrp_conv import lrp_maxpool_overlapping_wta
+
+    return lrp_maxpool_overlapping_wta(r, x, 3, 2)
 
 
 def _forward_cached(params, image, depth):

@@ -252,3 +252,51 @@ def lrp_avgpool(r: jnp.ndarray, x: jnp.ndarray, window: int = 2, stride: int = 2
     _, vjp = jax.vjp(partial(avgpool2d, window=window, stride=stride), x)
     (dx,) = vjp(s)
     return x * dx
+
+
+def lrp_maxpool_overlapping_wta(r: jnp.ndarray, x: jnp.ndarray, window: int = 3,
+                                stride: int = 2, padding: str = "VALID") -> jnp.ndarray:
+    """Winner-take-all relevance for OVERLAPPING max pools without
+    ``select_and_scatter`` (which executes ~100x below peak on TPU).
+
+    Tie-splitting semantics matching jax's reduce-max VJP: each output's
+    relevance divides equally among the window entries equal to the max, and
+    an input sums contributions from every window covering it. Implemented as
+    window*window strided-slice taps — pure VPU elementwise work.
+
+    VALID padding only (the resnet stem / inception reduction pools)."""
+    if padding != "VALID":
+        raise NotImplementedError("overlapping WTA implemented for VALID padding")
+    B, H, W, C = x.shape
+    Ho = (H - window) // stride + 1
+    Wo = (W - window) // stride + 1
+    y = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                              (1, window, window, 1), (1, stride, stride, 1), padding)
+
+    def tap(arr, dy, dx):
+        """arr slice aligned so tap(o) = arr[stride*o + d] for all outputs."""
+        return jax.lax.slice(
+            arr, (0, dy, dx, 0),
+            (B, dy + (Ho - 1) * stride + 1, dx + (Wo - 1) * stride + 1, C),
+            (1, stride, stride, 1),
+        )
+
+    # ties per output: count of window entries equal to the max
+    ties = jnp.zeros_like(y)
+    for dy in range(window):
+        for dx in range(window):
+            ties = ties + (tap(x, dy, dx) == y).astype(y.dtype)
+    r_scaled = r / ties
+
+    # scatter back: out[p] += (x[p] == y[o]) * r_scaled[o] for each covering o
+    out = jnp.zeros_like(x)
+    for dy in range(window):
+        for dx in range(window):
+            contrib = jnp.where(tap(x, dy, dx) == y, r_scaled, 0.0)
+            # inverse of tap: place contrib at input positions stride*o + d
+            pad_cfg = [(0, 0, 0),
+                       (dy, H - (dy + (Ho - 1) * stride + 1), stride - 1),
+                       (dx, W - (dx + (Wo - 1) * stride + 1), stride - 1),
+                       (0, 0, 0)]
+            out = out + jax.lax.pad(contrib, jnp.array(0.0, contrib.dtype), pad_cfg)
+    return out

@@ -103,3 +103,23 @@ def test_maxpool_wta_conservation(rng):
     # relevance lands only on window maxima
     nonzero = np.count_nonzero(np.asarray(rel))
     assert nonzero <= r.size
+
+
+def test_overlapping_wta_matches_vjp(rng):
+    """The strided-tap overlapping WTA == reduce_window max VJP (3x3/2)."""
+    from functools import partial as _partial
+
+    from lrp_imagecaptioning_tpu.ops.lrp_conv import lrp_maxpool_overlapping_wta
+
+    x = jnp.asarray(rng.normal(size=(2, 9, 11, 3)).astype(np.float32))
+
+    def pool(t):
+        return jax.lax.reduce_window(t, -jnp.inf, jax.lax.max,
+                                     (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+
+    y = pool(x)
+    r = jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+    _, vjp = jax.vjp(pool, x)
+    (expected,) = vjp(r)
+    got = lrp_maxpool_overlapping_wta(r, x, 3, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-6)
