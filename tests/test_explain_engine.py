@@ -87,3 +87,15 @@ def test_analyze_batch_matches_per_image(rng):
         np.testing.assert_allclose(
             single.relevance_maps, batch_results[b].relevance_maps, rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.parametrize("method", ["input_times_gradient", "guided_gradcam"])
+def test_explainer_remaining_methods(method, rng):
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method=method)
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
+    assert result.relevance_maps.shape == (2, 32, 32, 3)
+    assert np.isfinite(result.relevance_maps).all()
+    assert np.abs(result.relevance_maps).sum() > 0
