@@ -74,13 +74,18 @@ class BasicInference:
     # -- evaluation ---------------------------------------------------------
 
     def _predict_split(self, gen_fn, steps):
+        from ..data.prefetch import prefetch
+
         results = []
         data = []
-        gen = gen_fn(include_datum=True)
+        # background producer overlaps host image decode with device decode
+        # (GeneratorEnqueuer equivalent, inference.py:63-92)
+        gen = prefetch(gen_fn(include_datum=True))
         for _ in range(steps):
             (cap_in, imgs), y, datum_batch = next(gen)
             results += self.predict_batch(imgs)
             data += list(datum_batch)
+        gen.stop()
         return list(zip(results, data))
 
     def predict_test_set(self):
