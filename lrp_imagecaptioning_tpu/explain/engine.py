@@ -37,7 +37,8 @@ from .cnn_lrp import vgg_lrp_preset_a_wordbatched
 from .decoder_grad import grad_word_adaptive, grad_word_gridtd
 from .decoder_lrp import explain_word_adaptive, explain_word_gridtd
 
-METHODS = ("lrp", "gradient", "input_times_gradient", "guided_gradcam")
+METHODS = ("lrp", "gradient", "input_times_gradient", "guided_gradcam",
+           "integrated_gradients", "smoothgrad")
 
 
 @dataclass
@@ -55,6 +56,8 @@ class Explanation:
 
 
 def _decoder_backward_fn(model_type: str, method: str):
+    # decoder side: LRP methods use the relevance recursion; every
+    # gradient-family method shares the reference's BPTT gradient backward
     if model_type == "aoa":
         from .aoa_backward import explain_word_aoa, grad_word_aoa
 
@@ -77,9 +80,17 @@ class Explainer:
         self.captioner = captioner
         self.params = params
         self._pp = caption_pp
+        if (method in ("integrated_gradients", "smoothgrad")
+                and captioner.cfg.img_encoder not in ("vgg16", "vgg19")):
+            raise NotImplementedError(f"{method!r} is implemented for VGG encoders")
         self.method = method
         self._beam_size = beam_size
         self._max_len = max_len or captioner.cfg.sentence_length
+        # knobs for the augmentation-based analyzers (wrapper.py semantics)
+        self._ig_steps = 16
+        self._sg_samples = 8
+        self._sg_noise = 16.0
+        self._noise_seed = 0
         self._decode = jax.jit(self._decode_impl)
         self._explain = jax.jit(self._explain_impl)
 
@@ -190,6 +201,21 @@ class Explainer:
             maps = jax.vmap(lambda s: vgg_input_times_gradient(
                 params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
             )[0])(seeds)
+        elif self.method == "integrated_gradients":
+            from .cnn_gradient import vgg_integrated_gradients
+
+            maps = jax.vmap(lambda s: vgg_integrated_gradients(
+                params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name,
+                steps=self._ig_steps,
+            )[0])(seeds)
+        elif self.method == "smoothgrad":
+            from .cnn_gradient import vgg_smoothgrad
+
+            keys = jax.random.split(jax.random.PRNGKey(self._noise_seed), T)
+            maps = jax.vmap(lambda s, k: vgg_smoothgrad(
+                params["vgg"], image[None], s[None], k, cap.cfg.img_encoder, cap.cfg.layer_name,
+                n=self._sg_samples, noise_scale=self._sg_noise,
+            )[0])(seeds, keys)
         else:  # guided_gradcam
             feat_hw = feat_grid[0].reshape(g, g, cap.cfg.img_feature_dim)
 

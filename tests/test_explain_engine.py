@@ -99,3 +99,17 @@ def test_explainer_remaining_methods(method, rng):
     assert result.relevance_maps.shape == (2, 32, 32, 3)
     assert np.isfinite(result.relevance_maps).all()
     assert np.abs(result.relevance_maps).sum() > 0
+
+
+@pytest.mark.parametrize("method", ["integrated_gradients", "smoothgrad"])
+def test_explainer_augmentation_methods(method, rng):
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method=method)
+    ex._ig_steps = 4
+    ex._sg_samples = 2
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
+    assert result.relevance_maps.shape == (2, 32, 32, 3)
+    assert np.isfinite(result.relevance_maps).all()
+    assert np.abs(result.relevance_maps).sum() > 0
