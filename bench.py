@@ -36,12 +36,17 @@ BEAM = 3
 T = 20
 
 
-def build():
+def build(mesh=None):
     """Three jitted stages (caption / decoder-LRP / CNN-LRP).
 
     One fused program is semantically identical but costs minutes of XLA
     compile through the remote-compile path; splitting keeps per-program
     compile ~10-20s with no steady-state cost (stage outputs stay on device).
+
+    ``mesh``: shard the batch over the mesh's data axis for every stage
+    (params replicated) — the v5e-8 scale-out configuration of the
+    north-star benchmark (set LRPIC_BENCH_MESH=N to enable). BATCH must be
+    divisible by the data-axis size.
     """
     from lrp_imagecaptioning_tpu.config import FlickrConfig
     from lrp_imagecaptioning_tpu.explain.cnn_lrp import vgg_lrp_preset_a_wordbatched
@@ -62,13 +67,30 @@ def build():
     params = jax.device_put(params, jax.devices()[0])
     sos, eos = 1, 2  # token ids are arbitrary for throughput
 
-    @jax.jit
+    if mesh is not None:
+        from lrp_imagecaptioning_tpu.parallel import batch_sharding, replicated
+
+        data_s = batch_sharding(mesh)
+        rep = replicated(mesh)
+        params = jax.device_put(params, rep)
+
+        def sharded_jit(n_batch_args):
+            def deco(fn):
+                in_s = (rep,) + (data_s,) * n_batch_args
+                return jax.jit(fn, in_shardings=in_s)
+
+            return deco
+    else:
+        def sharded_jit(n_batch_args):
+            return jax.jit
+
+    @sharded_jit(1)
     def stage_caption(params, images):
         feat_grid = cap.encode(params, images, compute_dtype=bf16)  # (B,L,D)
         tokens, _ = beam_search(cap, params, feat_grid, sos, eos, BEAM, T)
         return feat_grid, tokens
 
-    @jax.jit
+    @sharded_jit(2)
     def stage_decoder_lrp(params, feat_grid, tokens):
         consts_b = cap.prepare_consts(params, feat_grid)
         prev = jnp.concatenate(
@@ -90,8 +112,8 @@ def build():
         caches_bt = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), caches_b)
         return jax.vmap(per_b)(consts_b, caches_bt, words0)        # (B,T,L,D)
 
-    @jax.jit
-    def stage_cnn_lrp(params, images, r_feat):
+    def _cnn_lrp_local(params, images, r_feat):
+        """Per-sample word-batched CNN LRP over any leading batch size."""
         def cnn_one(args):
             image, seeds = args
             return vgg_lrp_preset_a_wordbatched(
@@ -99,8 +121,23 @@ def build():
                 compute_dtype=bf16,
             )
 
-        seeds = r_feat.reshape(BATCH, T, 14, 14, cfg.img_feature_dim)
-        return jax.lax.map(cnn_one, (images, seeds))               # (B,T,224,224,3)
+        seeds = r_feat.reshape(-1, T, 14, 14, cfg.img_feature_dim)
+        return jax.lax.map(cnn_one, (images, seeds))               # (b,T,224,224,3)
+
+    if mesh is not None:
+        # shard_map so each device runs its LOCAL sample loop (a plain
+        # lax.map over a sharded axis would gather across devices)
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        stage_cnn_lrp = jax.jit(shard_map(
+            _cnn_lrp_local, mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P("data"),
+            check_rep=False,
+        ))
+    else:
+        stage_cnn_lrp = jax.jit(_cnn_lrp_local)
 
     def caption_and_explain(params, images):
         feat_grid, tokens = stage_caption(params, images)
@@ -127,9 +164,20 @@ def main():
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    fn, params = build()
+    mesh = None
+    n_mesh = int(os.environ.get("LRPIC_BENCH_MESH", "0"))
+    if n_mesh > 1:
+        from lrp_imagecaptioning_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_mesh)
+
+    fn, params = build(mesh)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
+    if mesh is not None:
+        from lrp_imagecaptioning_tpu.parallel import batch_sharding
+
+        images = jax.device_put(images, batch_sharding(mesh))
 
     # compile + warmup; reduce on device and materialize on host so async
     # dispatch cannot under-report (checksum forces the full pipeline)
