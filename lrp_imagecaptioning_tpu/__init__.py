@@ -20,3 +20,32 @@ Reference parity notes cite ``/root/reference`` file:line in docstrings.
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API: `from lrp_imagecaptioning_tpu import build_captioner`
+# without importing the heavy submodules at package-import time.
+_LAZY = {
+    "build_captioner": ("lrp_imagecaptioning_tpu.models.captioner", "build_captioner"),
+    "Captioner": ("lrp_imagecaptioning_tpu.models.captioner", "Captioner"),
+    "Explainer": ("lrp_imagecaptioning_tpu.explain.engine", "Explainer"),
+    "Trainer": ("lrp_imagecaptioning_tpu.train.trainer", "Trainer"),
+    "LRPFinetuner": ("lrp_imagecaptioning_tpu.train.lrp_finetune", "LRPFinetuner"),
+    "CaptionService": ("lrp_imagecaptioning_tpu.infer.serving", "CaptionService"),
+    "DatasetProvider": ("lrp_imagecaptioning_tpu.data.provider", "DatasetProvider"),
+    "FlickrConfig": ("lrp_imagecaptioning_tpu.config", "FlickrConfig"),
+    "COCOConfig": ("lrp_imagecaptioning_tpu.config", "COCOConfig"),
+    "COCO2014Config": ("lrp_imagecaptioning_tpu.config", "COCO2014Config"),
+    "make_mesh": ("lrp_imagecaptioning_tpu.parallel.mesh", "make_mesh"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
