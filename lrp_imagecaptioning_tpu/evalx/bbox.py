@@ -33,6 +33,24 @@ FILTER = ["a", "A", "an", "An", "the", "The", "'s"]
 THRESHOLDS = [0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
 
 
+def show_bbox(img_path: str, bboxes, title: str, ratio, out_path: str | None = None):
+    """Draw scaled ground-truth boxes on the 224-resized image
+    (show_bbox, evaluate_bbox.py:25-37); returns the PIL image."""
+    from PIL import Image, ImageDraw
+
+    img = Image.open(img_path).resize((224, 224))
+    draw = ImageDraw.Draw(img)
+    for bbox in bboxes:
+        draw.rectangle(
+            [bbox[0] * ratio[0], bbox[1] * ratio[1], bbox[2] * ratio[0], bbox[3] * ratio[1]],
+            outline="black",
+        )
+        draw.text((bbox[0] * ratio[0], bbox[1] * ratio[1]), title)
+    if out_path:
+        img.save(out_path)
+    return img
+
+
 def correctness(bbox, relevance: np.ndarray, threshold: float) -> float:
     """Relevance mass inside bbox / total mass above threshold
     (_calculate_overlaped_pixels, evaluate_bbox.py:191-208).

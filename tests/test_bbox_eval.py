@@ -82,3 +82,19 @@ def test_evaluation_bbox_end_to_end(rng):
     agg = analyze_results(results)
     assert set(agg) == {"lrp", "attention"}
     assert "0.0" in agg["lrp"] and "mean" in agg["lrp"]["0.0"]
+
+
+def test_show_bbox(tmp_path, rng):
+    from PIL import Image
+
+    from lrp_imagecaptioning_tpu.evalx.bbox import show_bbox
+
+    arr = (rng.random((300, 400, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(p)
+    out = str(tmp_path / "boxed.png")
+    img = show_bbox(p, [[10, 10, 100, 80]], "person", (224 / 400, 224 / 300), out_path=out)
+    assert img.size == (224, 224)
+    import os
+
+    assert os.path.getsize(out) > 0
