@@ -34,6 +34,7 @@ BATCH = int(_os.environ.get("LRPIC_BENCH_BATCH", "8"))
 VOCAB = 7003
 BEAM = 3
 T = 20
+CFG_OVERRIDES: dict = {}  # tests shrink the model/grid through this
 
 
 def build(mesh=None):
@@ -58,8 +59,9 @@ def build(mesh=None):
 
     bf16 = jnp.bfloat16 if os.environ.get("LRPIC_BENCH_F32") != "1" else None
 
-    cfg = FlickrConfig()
+    cfg = FlickrConfig(**CFG_OVERRIDES)
     cap = build_captioner("adaptiveattention", cfg, VOCAB)
+    grid = int(round(float(np.sqrt(cfg.img_feature_length))))
     # init on the host CPU backend: eager init dispatches hundreds of tiny
     # ops, and on a remote-compile TPU backend each costs a ~1s round trip
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
@@ -121,7 +123,7 @@ def build(mesh=None):
                 compute_dtype=bf16,
             )
 
-        seeds = r_feat.reshape(-1, T, 14, 14, cfg.img_feature_dim)
+        seeds = r_feat.reshape(-1, T, grid, grid, cfg.img_feature_dim)
         return jax.lax.map(cnn_one, (images, seeds))               # (b,T,224,224,3)
 
     if mesh is not None:

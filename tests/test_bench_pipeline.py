@@ -12,13 +12,18 @@ from lrp_imagecaptioning_tpu.parallel import batch_sharding, make_mesh
 
 @pytest.mark.slow
 def test_sharded_bench_pipeline_matches_single_device(rng, monkeypatch):
-    # shrink the pipeline so the CPU run stays fast
+    # shrink the pipeline so the CPU run stays fast: tiny decoder dims and a
+    # 2x2 feature grid (32px inputs)
     monkeypatch.setattr(bench, "BATCH", 8)
     monkeypatch.setattr(bench, "VOCAB", 32)
     monkeypatch.setattr(bench, "T", 4)
     monkeypatch.setattr(bench, "BEAM", 2)
+    monkeypatch.setattr(bench, "CFG_OVERRIDES", dict(
+        embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
+        sentence_length=4, drop_rate=0.0,
+    ))
 
-    images = jnp.asarray(rng.normal(size=(8, 224, 224, 3)).astype(np.float32))
+    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
 
     fn_single, params = bench.build(mesh=None)
     tokens_s, maps_s = fn_single(params, images)
