@@ -50,8 +50,12 @@ def _python_beam(step_logits_fn, beam_size, max_len):
     return [w + 1 for w in best[1:]], best_score
 
 
-def test_beam_matches_python_reference_heap(rng):
-    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+import pytest
+
+
+@pytest.mark.parametrize("model_type", ["adaptiveattention", "gridTD", "aoa"])
+def test_beam_matches_python_reference_heap(model_type, rng):
+    cap = build_captioner(model_type, CFG, VOCAB)
     params = cap.init_params(jax.random.PRNGKey(3))
     feat = jnp.asarray(rng.normal(size=(1, CFG.img_feature_length, CFG.img_feature_dim)).astype(np.float32))
 
