@@ -188,3 +188,47 @@ def test_gridtd_lrp_matches_reference_recursion(rng):
     np.testing.assert_allclose(np.asarray(att), c.attention[t_ex], rtol=1e-5)
     np.testing.assert_allclose(np.asarray(r_words)[: t_ex + 1], r_words_np[: t_ex + 1],
                                rtol=2e-3, atol=1e-5)
+
+
+def test_lrp_linear_in_seed(rng):
+    """LRP relevance is LINEAR in the output seed for fixed forward state —
+    an invariant of every rule here (the backward is a linear operator).
+    Checked through the full engine (decoder + CNN) for all three decoders."""
+    import pytest
+
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+
+    cfg = CFG.replace(img_feature_length=4, img_feature_dim=512, sentence_length=4,
+                      embedding_dim=16, hidden_dim=16)  # AOA needs H % 8 == 0
+    for model_type in ("adaptiveattention", "gridTD", "aoa"):
+        cap = build_captioner(model_type, cfg, VOCAB)
+        params = jax.tree.map(lambda x: x, cap.init_params(jax.random.PRNGKey(0)))
+        ex = Explainer(cap, params, PP(), method="lrp", beam_size=2)
+        image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+        tokens = np.array([5, 7, 2, 0], np.int32)
+        base = ex.analyze(image, tokens_1based=tokens)
+        # scale the output layer: logits scale, seeds (logit-valued) scale,
+        # and every identity/linear split is 1-homogeneous in the seed
+        p2 = jax.tree.map(lambda x: x, params)
+        p2["decoder"] = dict(p2["decoder"])
+        p2["decoder"]["output"] = {
+            "kernel": params["decoder"]["output"]["kernel"] * 2.0,
+            "bias": params["decoder"]["output"]["bias"] * 2.0,
+        }
+        ex2 = Explainer(cap, p2, PP(), method="lrp", beam_size=2)
+        scaled = ex2.analyze(image, tokens_1based=tokens)
+        # doubled logits -> doubled seed; identical forward ratios elsewhere
+        # except the output rule divides by the doubled logits too: the first
+        # lrp_linear is seed * (w x / z) with seed=z[word] -> scales by 2
+        np.testing.assert_allclose(
+            scaled.relevance_maps, base.relevance_maps * 2.0,
+            rtol=5e-3, atol=1e-5,
+        )
