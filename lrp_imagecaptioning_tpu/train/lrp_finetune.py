@@ -236,9 +236,10 @@ class LRPFinetuner:
         """Run ``epoch_length`` iterations, fast-forwarding the generator by
         save_idx*epoch_length batches like the reference resume
         (train.py:563-564), then save."""
+        from ..data.prefetch import prefetch
         from .checkpoint import save_checkpoint
 
-        gen = self.provider.training_set(pad_to_length=self._T)
+        gen = prefetch(self.provider.training_set(pad_to_length=self._T))
         for _ in range(save_idx * epoch_length):
             next(gen)
         metrics = {"loss": 0.0, "accuracy": 0.0}
