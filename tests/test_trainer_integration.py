@@ -45,3 +45,24 @@ def test_trainer_two_epochs(tmp_path, monkeypatch):
     # resume restores the latest checkpoint
     t2 = Trainer("adaptiveattention", cfg, ds, label="itest")
     assert t2.resume_latest()
+
+
+@pytest.mark.slow
+def test_trainer_with_mesh(tmp_path, monkeypatch):
+    """Trainer wired to a device mesh: sharded steps, checkpoints, logs."""
+    monkeypatch.chdir(tmp_path)
+    from lrp_imagecaptioning_tpu.parallel import make_mesh
+
+    cfg = FlickrConfig(
+        embedding_dim=16, hidden_dim=16, sentence_length=6, drop_rate=0.0,
+        batch_size=8, rare_words_handling="nothing", learning_rate=1e-3,
+    )
+    ds = SyntheticDataset(cfg, n_train=8, n_val=8, n_test=8,
+                          cache_dir=str(tmp_path / "imgs"))
+    mesh = make_mesh(8)
+    trainer = Trainer("adaptiveattention", cfg, ds, label="mesh-itest",
+                      mesh=mesh, eval_metrics=False)
+    history = trainer.run(epochs=1, steps_per_epoch=1)
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss"])
+    assert np.isfinite(history[0]["val_loss"])
