@@ -24,12 +24,15 @@ mode off-TPU so parity tests run on CPU.
 
 MEASURED (v5e, 20-word batches, f32): parity with the XLA graph path, not a
 win — block4 (28x28x512) 31.2ms vs 31.0ms, block2 (112x112x128) 33.6ms vs
-31.9ms. XLA already fuses the elementwise into its conv calls well enough
-that the saved HBM round-trips don't show; the backward is compute-bound at
-these shapes. block1's wide rows (224+halo x 64ch) currently fail Mosaic
-compilation. Kept as validated infrastructure (exact-parity tests in
-tests/test_pallas_conv.py) rather than wired into the default path — the
-default XLA path (ops/lrp_conv.py) is the production route.
+31.9ms, block1 (224x224x64) 49.7ms vs 42.6ms. XLA already fuses the
+elementwise into its conv calls well enough that the saved HBM round-trips
+don't show; the backward is compute-bound at these shapes. Two hard-won
+Mosaic constraints are encoded: halo DMA rows must be sublane-aligned (the
+unaligned version FAULTED the TPU worker) and the conv-input channel dim
+must be >= 128 lanes (sub-lane Cin fails compilation; zero-padding channels
+is an identity fix). Kept as validated infrastructure (exact-parity tests in
+tests/test_pallas_conv.py) — the XLA path (ops/lrp_conv.py) remains the
+production route.
 """
 
 from __future__ import annotations
@@ -144,6 +147,14 @@ def conv3x3_fused(x, ew, kernel, bias=None, mode: str = "divide", eps: float = E
     """
     N, H, W, cin = x.shape
     cout = kernel.shape[-1]
+    # Mosaic requires the conv-input channel (lane) dim >= 128 here: sub-lane
+    # channel counts (e.g. VGG block1's 64) fail its compiler. Zero-padding
+    # channels is a mathematical identity for the conv.
+    if cin < 128:
+        pad_c = 128 - cin
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
+        cin = 128
     # pad: +1 halo each side, right-pad width to a sublane multiple (8) so
     # the HBM->VMEM halo DMA rows stay aligned
     wp = (W + 2 + 7) // 8 * 8
