@@ -13,7 +13,10 @@ padded to the compiled batch and the padding outputs dropped. Statistics
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
+from concurrent.futures import Future
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +28,12 @@ from .greedy import greedy_decode
 
 
 class CaptionService:
-    """Pad-and-dispatch caption (and optional heatmap) serving."""
+    """Pad-and-dispatch caption + per-word heatmap serving.
+
+    Endpoints: ``caption(images)`` (strings), ``explain(images)``
+    (Explanation objects with LRP/gradient heatmaps), and a micro-batching
+    queue (``start_queue()`` + ``submit(image)`` -> Future) that coalesces
+    concurrent single-image requests into one device dispatch."""
 
     def __init__(self, captioner, params, caption_pp, batch_size: int = 8,
                  beam_size: int = 3, max_len: int | None = None,
@@ -59,16 +67,38 @@ class CaptionService:
 
         self._decode = jax.jit(decode)
         self._compiled = None
+        self._explainer = None
+        self._queue = None
+        self._queue_thread = None
 
-    def warmup(self):
-        """AOT-compile the decode executable for the service batch shape."""
+    def _input_size(self) -> int:
         # input resolution implied by the feature grid: g x g grid from 4
         # stride-2 pools => input = 16 * g (224 for the standard 14x14)
         g = int(round(float(np.sqrt(self.captioner.cfg.img_feature_length))))
-        size = 16 * g
+        return 16 * g
+
+    def warmup(self, explain: bool = False, method: str = "lrp"):
+        """AOT-compile the decode executable for the service batch shape.
+
+        With ``explain=True`` also builds the Explainer and traces/compiles
+        its batched decode+explain programs on a dummy batch, so the first
+        ``explain()`` request pays no compilation either."""
+        size = self._input_size()
         dummy = jnp.zeros((self._B, size, size, 3), jnp.float32)
         self._compiled = self._decode.lower(self.params, dummy).compile()
+        if explain:
+            self._get_explainer(method).analyze_batch(dummy)
         return self
+
+    def _get_explainer(self, method: str = "lrp"):
+        if self._explainer is None or self._explainer.method != method:
+            from ..explain.engine import Explainer
+
+            self._explainer = Explainer(
+                self.captioner, self.params, self._pp, method=method,
+                beam_size=self._beam, max_len=self._T,
+            )
+        return self._explainer
 
     def caption(self, images: np.ndarray) -> list[str]:
         """images: (N, 224, 224, 3) preprocessed, N <= batch_size (padded up)."""
@@ -96,6 +126,125 @@ class CaptionService:
         self._timer.update()
         self.stats["latency_ema_s"] = time.perf_counter() - t0
         return [self._tokens_to_string(row) for row in tokens]
+
+    def explain(self, images: np.ndarray, method: str = "lrp") -> list:
+        """Caption + per-word heatmap explanation endpoint.
+
+        images: (N, H, W, 3) preprocessed, any N (chunked/padded to the
+        service batch). Returns a list of N ``Explanation`` objects (caption,
+        words, relevance_maps, attentions, ...). Reuses the Explainer's
+        batched jitted programs, so after the first call (or
+        ``warmup(explain=True)``) each request is two device dispatches.
+        """
+        n = images.shape[0]
+        if n > self._B:
+            out = []
+            for i in range(0, n, self._B):
+                out += self.explain(images[i : i + self._B], method=method)
+            return out
+        t0 = time.perf_counter()
+        if n < self._B:
+            pad = np.zeros((self._B - n, *images.shape[1:]), images.dtype)
+            batch = np.concatenate([images, pad], axis=0)
+        else:
+            batch = images
+        result = self._get_explainer(method).analyze_batch(jnp.asarray(batch))[:n]
+        self.stats["requests"] += 1
+        self.stats["images"] += n
+        self.stats["latency_ema_s"] = time.perf_counter() - t0
+        return result
+
+    # -- micro-batching queue ----------------------------------------------
+
+    def start_queue(self, linger_ms: float = 5.0):
+        """Start the background micro-batcher for ``submit()``.
+
+        Single-image requests from concurrent callers are coalesced: the
+        batcher takes the first queued request, lingers up to ``linger_ms``
+        collecting more (up to the compiled batch size), then dispatches ONE
+        padded batch — so B concurrent callers share one executable launch
+        instead of paying B padded launches.
+        """
+        if self._queue is not None:
+            return self
+        self._queue = queue.Queue()
+        self._queue_linger = linger_ms / 1000.0
+        self._queue_stop = threading.Event()
+        self._queue_thread = threading.Thread(target=self._queue_loop, daemon=True)
+        self._queue_thread.start()
+        return self
+
+    def stop_queue(self):
+        """Stop the micro-batcher; pending requests are still served."""
+        if self._queue is None:
+            return
+        self._queue_stop.set()
+        self._queue.put(None)  # wake the loop
+        self._queue_thread.join()
+        self._queue = None
+        self._queue_thread = None
+
+    def submit(self, image: np.ndarray, explain: bool = False,
+               method: str = "lrp") -> Future:
+        """Enqueue one (H, W, 3) image; returns a Future.
+
+        Future resolves to the caption string, or an ``Explanation`` when
+        ``explain=True``. Requires ``start_queue()``."""
+        if self._queue is None:
+            raise RuntimeError("call start_queue() before submit()")
+        fut: Future = Future()
+        self._queue.put((np.asarray(image), explain, method, fut))
+        return fut
+
+    def _queue_loop(self):
+        while not self._queue_stop.is_set():
+            item = self._queue.get()
+            if item is None:
+                continue
+            batch = [item]
+            deadline = time.perf_counter() + self._queue_linger
+            while len(batch) < self._B:
+                left = deadline - time.perf_counter()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    continue
+                batch.append(nxt)
+            self._dispatch_queue_batch(batch)
+        # drain: serve whatever arrived between stop() and join()
+        leftovers = []
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                leftovers.append(item)
+        if leftovers:
+            self._dispatch_queue_batch(leftovers)
+
+    def _dispatch_queue_batch(self, batch):
+        # split by endpoint: captions batch together, explanations together
+        for want_explain in (False, True):
+            group = [b for b in batch if b[1] == want_explain]
+            if not group:
+                continue
+            images = np.stack([g[0] for g in group])
+            try:
+                if want_explain:
+                    results = self.explain(images, method=group[0][2])
+                else:
+                    results = self.caption(images)
+                for (_, _, _, fut), res in zip(group, results):
+                    fut.set_result(res)
+            except Exception as e:  # pragma: no cover - propagate to callers
+                for _, _, _, fut in group:
+                    if not fut.done():
+                        fut.set_exception(e)
 
     def _tokens_to_string(self, row) -> str:
         words = []

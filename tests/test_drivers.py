@@ -105,3 +105,36 @@ def test_beam_search_inference_api(tmp_path, monkeypatch, rng):
     assert "Bleu_1" in metrics and "CIDEr" in metrics
     for v in metrics.values():
         assert np.isfinite(v)
+
+
+def test_caption_service_explain_and_queue(rng):
+    """explain() endpoint + submit()/micro-batching queue on CaptionService."""
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+    from lrp_imagecaptioning_tpu.explain.engine import Explanation
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1)
+    svc.warmup(explain=True)
+
+    # ragged explain request (3 < batch 4)
+    exps = svc.explain(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    assert len(exps) == 3
+    for e in exps:
+        assert isinstance(e, Explanation)
+        assert e.relevance_maps.shape[0] == len(e.words)
+        assert np.isfinite(e.relevance_maps).all()
+
+    # micro-batching queue: mixed caption + explain submissions coalesce
+    svc.start_queue(linger_ms=50.0)
+    imgs = rng.normal(size=(5, 32, 32, 3)).astype(np.float32)
+    futs = [svc.submit(imgs[i]) for i in range(4)]
+    fut_e = svc.submit(imgs[4], explain=True)
+    captions = [f.result(timeout=120) for f in futs]
+    assert all(isinstance(c, str) for c in captions)
+    assert isinstance(fut_e.result(timeout=120), Explanation)
+    svc.stop_queue()
+    # same image through direct path == queued path (determinism)
+    direct = svc.caption(imgs[:1])[0]
+    assert captions[0] == direct
