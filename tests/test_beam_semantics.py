@@ -99,3 +99,27 @@ def test_beam_matches_python_reference_multiple_seeds(rng):
         got = [int(t) for t in np.asarray(tokens)[0] if t != 0]
         assert got == exp_tokens, f"seed {seed}: {got} != {exp_tokens}"
         np.testing.assert_allclose(float(score[0]), exp_score, rtol=1e-3)
+
+
+@pytest.mark.parametrize("beam_size", [1, 2, 4, 5, 8])
+def test_beam_matches_python_reference_wide_widths(beam_size, rng):
+    """Widths beyond the reference's fixed beam=3 (incl. beam > top-k edge
+    cases near vocab size) must still match the heap oracle."""
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(11))
+    feat = jnp.asarray(rng.normal(size=(1, CFG.img_feature_length, CFG.img_feature_dim)).astype(np.float32))
+    consts = cap.prepare_consts(params, feat)
+    emb = params["decoder"]["embedding"]
+
+    def step_logits(prefix):
+        state = cap.decoder.init_state(1, CFG.hidden_dim)
+        cache = None
+        for tok in prefix:
+            state, cache = cap.decoder.step(params["decoder"], consts, state, emb[jnp.asarray([tok])])
+        return np.asarray(cache.logits[0], np.float64)
+
+    exp_tokens, exp_score = _python_beam(step_logits, beam_size, CFG.sentence_length)
+    tokens, score = beam_search(cap, params, feat, SOS, EOS, beam_size, CFG.sentence_length)
+    got = [int(t) for t in np.asarray(tokens)[0] if t != 0]
+    assert got == exp_tokens, f"beam {beam_size}: {got} != {exp_tokens}"
+    np.testing.assert_allclose(float(score[0]), exp_score, rtol=1e-3)
