@@ -7,3 +7,10 @@ from .mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from .distributed import (  # noqa: F401
+    global_batch_from_local,
+    initialize_distributed,
+    make_multihost_mesh,
+    process_batch_slice,
+    shard_global_batch,
+)
