@@ -138,3 +138,63 @@ def test_caption_service_explain_and_queue(rng):
     # same image through direct path == queued path (determinism)
     direct = svc.caption(imgs[:1])[0]
     assert captions[0] == direct
+
+
+def test_caption_http_server(rng):
+    """stdlib HTTP front-end: JSON caption, npy explain, stats, errors."""
+    import io
+    import json
+    import urllib.request
+
+    from lrp_imagecaptioning_tpu.infer import CaptionHTTPServer, CaptionService
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    svc = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1)
+    svc.warmup(explain=True)
+    srv = CaptionHTTPServer(svc, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            assert json.load(r)["ok"] is True
+
+        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        # JSON body
+        req = urllib.request.Request(
+            f"{base}/caption", data=json.dumps({"images": imgs.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            caps_json = json.load(r)["captions"]
+        assert len(caps_json) == 2 and all(isinstance(c, str) for c in caps_json)
+        # raw .npy body gives identical captions
+        buf = io.BytesIO(); np.save(buf, imgs)
+        req = urllib.request.Request(f"{base}/caption", data=buf.getvalue(),
+                                     headers={"Content-Type": "application/x-npy"})
+        with urllib.request.urlopen(req) as r:
+            assert json.load(r)["captions"] == caps_json
+
+        # explain endpoint returns an npz with per-image heatmaps
+        buf = io.BytesIO(); np.save(buf, imgs[:1])
+        req = urllib.request.Request(f"{base}/explain?method=lrp", data=buf.getvalue(),
+                                     headers={"Content-Type": "application/x-npy"})
+        with urllib.request.urlopen(req) as r:
+            z = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        # Explanation captions keep the EOS word (reference style)
+        assert str(z["caption_0"]) == f"{caps_json[0]} {FakePP.EOS_TOKEN}"
+        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert np.isfinite(z["relevance_maps_0"]).all()
+
+        with urllib.request.urlopen(f"{base}/stats") as r:
+            assert json.load(r)["images"] >= 5
+
+        # malformed request -> 400
+        req = urllib.request.Request(f"{base}/caption", data=b"{}",
+                                     headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
