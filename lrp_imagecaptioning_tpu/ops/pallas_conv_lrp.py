@@ -22,17 +22,26 @@ the XLA graph path materializes per layer per word-batch. Row-tile height
 adapts to the layer (divisor of H, VMEM-bounded). Falls back to interpret
 mode off-TPU so parity tests run on CPU.
 
-MEASURED (v5e, 20-word batches, f32): parity with the XLA graph path, not a
-win — block4 (28x28x512) 31.2ms vs 31.0ms, block2 (112x112x128) 33.6ms vs
-31.9ms, block1 (224x224x64) 49.7ms vs 42.6ms. XLA already fuses the
-elementwise into its conv calls well enough that the saved HBM round-trips
-don't show; the backward is compute-bound at these shapes. Two hard-won
-Mosaic constraints are encoded: halo DMA rows must be sublane-aligned (the
-unaligned version FAULTED the TPU worker) and the conv-input channel dim
-must be >= 128 lanes (sub-lane Cin fails compilation; zero-padding channels
-is an identity fix). Kept as validated infrastructure (exact-parity tests in
-tests/test_pallas_conv.py) — the XLA path (ops/lrp_conv.py) remains the
-production route.
+MEASURED (v5e, 20-word batches, f32). Two methodologies, very different
+stories. Per-dispatch timing (sync each call) reads as parity: block4
+(28x28x512) 31.2ms vs XLA's 31.0ms, block2 (112x112x128) 33.6 vs 31.9,
+block1 (224x224x64) 49.7 vs 42.6 — but those numbers are dominated by ~27ms
+of host->device dispatch latency on this tunnel. With 10 calls chained
+inside one jit (fori_loop, data-dependent), the true per-call kernel times
+are: block1 16.9ms vs XLA 7.5, block2 6.5 vs 4.4, block4 4.3 vs 4.0 — XLA
+WINS outright. block1 loses 2x because the <128-channel zero-padding
+(Mosaic lane requirement, below) doubles this kernel's FLOPs where XLA
+tiles 64 channels natively. A bf16-operand variant was also measured: no
+gain at block4 (4.0ms, matching XLA's own bf16 non-gain — the divide pass
+is VPU/HBM-bound, not MXU-bound) and further Mosaic failures at the wider
+shapes, so it was dropped rather than shipped half-working.
+
+Two hard-won Mosaic constraints are encoded: halo DMA rows must be
+sublane-aligned (the unaligned version FAULTED the TPU worker) and the
+conv-input channel (lane) dim must be >= 128 (sub-lane Cin fails
+compilation; zero-padding channels is an identity fix). Kept as validated
+infrastructure (exact-parity tests in tests/test_pallas_conv.py) — the XLA
+path (ops/lrp_conv.py) is the production route, on the measurements above.
 """
 
 from __future__ import annotations
