@@ -30,7 +30,9 @@ KERAS_CPU_BASELINE_IMG_PER_S = 0.05
 
 import os as _os
 
-BATCH = int(_os.environ.get("LRPIC_BENCH_BATCH", "8"))
+# batch sweep on v5e (img/s/chip): 8 -> 79.5, 16 -> 80.9, 32 -> 81.8,
+# 64 -> FailedPrecondition (program exceeds the remote-compile path's limit)
+BATCH = int(_os.environ.get("LRPIC_BENCH_BATCH", "32"))
 VOCAB = 7003
 BEAM = 3
 T = 20
