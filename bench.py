@@ -120,9 +120,12 @@ def build(mesh=None):
         """Per-sample word-batched CNN LRP over any leading batch size."""
         def cnn_one(args):
             image, seeds = args
+            # storage_dtype: the CNN backward is HBM-bound at the early VGG
+            # layers; holding activations/relevances in bf16 halves that
+            # traffic (see cnn_lrp.py for the measured numbers/deviation)
             return vgg_lrp_preset_a_wordbatched(
                 params["vgg"], image[None], seeds, cfg.img_encoder, cfg.layer_name,
-                compute_dtype=bf16,
+                compute_dtype=bf16, storage_dtype=bf16,
             )
 
         seeds = r_feat.reshape(-1, T, grid, grid, cfg.img_feature_dim)
@@ -148,6 +151,13 @@ def build(mesh=None):
         r_feat = stage_decoder_lrp(params, feat_grid, tokens)
         heatmaps = stage_cnn_lrp(params, images, r_feat)
         return tokens, heatmaps
+
+    # expose the stages for per-stage profiling / tests
+    caption_and_explain.stages = {
+        "caption": stage_caption,
+        "decoder_lrp": stage_decoder_lrp,
+        "cnn_lrp": stage_cnn_lrp,
+    }
 
     if os.environ.get("LRPIC_BENCH_FUSED"):
         # experimental: one program, one dispatch per iteration. Measured on

@@ -143,7 +143,7 @@ def vgg_lrp_preset_b_flat(params, image, relevance_seed, arch="vgg16", until="bl
 
 
 def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", until="block5_conv3",
-                                 compute_dtype=None):
+                                 compute_dtype=None, storage_dtype=None):
     """Per-word LRP with the forward pass shared across words.
 
     image: (1, 224, 224, 3); relevance_seeds: (W, 14, 14, 512) — one seed per
@@ -151,8 +151,21 @@ def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", u
     is vmapped over W, so all W heatmaps come out of one XLA program.
     ``compute_dtype=bfloat16`` runs the conv chains on the MXU fast path
     (f32 accumulate) — ~1e-2 relative heatmap deviation for ~3x throughput.
-    Returns (W, 224, 224, 3).
+
+    ``storage_dtype=bfloat16`` goes further: params/activations/relevances
+    are HELD in bf16, halving the HBM traffic of the elementwise
+    divide/re-weight chains (the measured bottleneck at the wide early VGG
+    layers — this pass is bandwidth-bound there, not MXU-bound). Convs then
+    run natively in bf16 (the MXU still accumulates f32 internally).
+    Measured on v5e at batch 32x20 words: 343ms vs 385ms for compute_dtype
+    alone, max deviation 0.9% of the map scale (corr 0.99999 vs f32).
+    Returns (W, 224, 224, 3) in f32.
     """
+    if storage_dtype is not None:
+        params = jax.tree.map(lambda a: a.astype(storage_dtype), params)
+        image = image.astype(storage_dtype)
+        relevance_seeds = relevance_seeds.astype(storage_dtype)
+        compute_dtype = None  # ops run natively in storage_dtype
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
 
     def one(seed):
@@ -161,4 +174,5 @@ def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", u
         )
         return _vgg_lrp_backward(params, inputs, seed[None], arch, until, rule)[0]
 
-    return jax.vmap(one)(relevance_seeds)
+    out = jax.vmap(one)(relevance_seeds)
+    return out.astype(jnp.float32) if storage_dtype is not None else out

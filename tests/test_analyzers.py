@@ -122,6 +122,11 @@ def test_preset_a_bf16_close_to_f32(rng):
                                                    compute_dtype=jnp.bfloat16, **ARCH_KW))
     scale = np.abs(f32).max()
     assert np.abs(bf16 - f32).max() / scale < 0.05
+    # bf16 STORAGE (HBM-halving mode): output dtype back to f32, close to ref
+    st = np.asarray(vgg_lrp_preset_a_wordbatched(params, image, seeds,
+                                                 storage_dtype=jnp.bfloat16, **ARCH_KW))
+    assert st.dtype == np.float32
+    assert np.abs(st - f32).max() / scale < 0.05
 
 
 def test_preset_a_debug_stats(rng):
