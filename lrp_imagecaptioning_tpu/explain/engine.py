@@ -17,6 +17,8 @@ Methods (same registry the reference exposes one class per entry for):
   'gradient'             — reference-semantics BPTT gradient + CNN Gradient
   'input_times_gradient' — ... + CNN InputTimesGradient
   'guided_gradcam'       — ... + GuidedBackprop x GradCAM (explainers.py:925-991)
+  'guided_backprop'      — ... + GuidedBackprop alone (gradient_based.py:228-265)
+  'deconvnet'            — ... + Deconvnet relu-on-backprop (gradient_based.py:267+)
 """
 
 from __future__ import annotations
@@ -38,7 +40,7 @@ from .decoder_grad import grad_word_adaptive, grad_word_gridtd
 from .decoder_lrp import explain_word_adaptive, explain_word_gridtd
 
 METHODS = ("lrp", "gradient", "input_times_gradient", "guided_gradcam",
-           "integrated_gradients", "smoothgrad")
+           "integrated_gradients", "smoothgrad", "guided_backprop", "deconvnet")
 
 
 @dataclass
@@ -164,9 +166,11 @@ class Explainer:
         elif cap.cfg.img_encoder not in ("vgg16", "vgg19"):
             # generic autodiff path (inception / resnet): one VJP per word
             # seed; guided_gradcam swaps in the guided-backprop relu
-            from .cnn_gradient import _guided_relu
+            from .cnn_gradient import _deconv_relu, _guided_relu
 
-            relu_fn = _guided_relu if self.method == "guided_gradcam" else None
+            relu_fn = {"guided_gradcam": _guided_relu,
+                       "guided_backprop": _guided_relu,
+                       "deconvnet": _deconv_relu}.get(self.method)
 
             def enc(img):
                 return cap.encode(params, img[None], relu_fn=relu_fn)[0]  # (L, D)
@@ -207,6 +211,16 @@ class Explainer:
             maps = jax.vmap(lambda s: vgg_integrated_gradients(
                 params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name,
                 steps=self._ig_steps,
+            )[0])(seeds)
+        elif self.method == "guided_backprop":
+            maps = jax.vmap(lambda s: vgg_guided_backprop(
+                params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
+            )[0])(seeds)
+        elif self.method == "deconvnet":
+            from .cnn_gradient import vgg_deconvnet
+
+            maps = jax.vmap(lambda s: vgg_deconvnet(
+                params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
             )[0])(seeds)
         elif self.method == "smoothgrad":
             from .cnn_gradient import vgg_smoothgrad
