@@ -214,6 +214,40 @@ def _load_params(captioner, args):
     return params
 
 
+def cmd_serve(args):
+    """Production serving: warmed CaptionService + micro-batching queue behind
+    the stdlib HTTP front-end (no reference analog — new deployment surface)."""
+    from .data.provider import DatasetProvider
+    from .infer.http_server import CaptionHTTPServer
+    from .infer.serving import CaptionService
+    from .models.captioner import build_captioner
+
+    cfg, dataset = _build_dataset(args)
+    provider = DatasetProvider(dataset, cfg)
+    captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+    params = _load_params(captioner, args)
+    svc = CaptionService(captioner, params, provider.caption_preprocessor,
+                         batch_size=args.batch_size, beam_size=args.beam_size)
+    print(f"warming up (batch {args.batch_size}, beam {args.beam_size}, "
+          f"explain={args.with_explain})...", flush=True)
+    svc.warmup(explain=args.with_explain, method=args.method)
+    svc.start_queue(linger_ms=args.linger_ms)
+    server = CaptionHTTPServer(svc, host=args.host, port=args.port).start()
+    print(f"serving on http://{args.host}:{server.port} "
+          f"(POST /caption, /explain; GET /healthz, /stats)", flush=True)
+    if getattr(args, "serve_seconds", None):
+        import time as _time
+        _time.sleep(args.serve_seconds)
+    else:  # pragma: no cover - interactive loop
+        import threading
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+    server.stop()
+    svc.stop_queue()
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="lrp_imagecaptioning_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -247,7 +281,9 @@ def main(argv=None):
     p = sub.add_parser("explain", help="word-by-word explanation (explain_image.py)")
     _add_common(p)
     p.add_argument("--method", default="lrp",
-                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam"])
+                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam",
+                            "integrated_gradients", "smoothgrad", "guided_backprop",
+                            "deconvnet"])
     p.add_argument("--image", default=None, help="explain one image file")
     p.add_argument("--num-images", type=int, default=1)
     p.add_argument("--beam-size", type=int, default=3)
@@ -274,6 +310,23 @@ def main(argv=None):
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--max-images", type=int, default=None)
     p.set_defaults(fn=cmd_analyze_words)
+
+    p = sub.add_parser("serve", help="HTTP caption/explanation service (new capability)")
+    _add_common(p)
+    p.add_argument("--method", default="lrp",
+                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam",
+                            "integrated_gradients", "smoothgrad", "guided_backprop",
+                            "deconvnet"])
+    p.add_argument("--beam-size", type=int, default=3)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--linger-ms", type=float, default=5.0,
+                   help="micro-batching window for concurrent requests")
+    p.add_argument("--with-explain", action="store_true",
+                   help="also pre-compile the explanation endpoint")
+    p.add_argument("--serve-seconds", type=float, default=None,
+                   help="exit after N seconds (tests/smoke); default: run forever")
+    p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -198,3 +198,53 @@ def test_caption_http_server(rng):
             assert e.code == 400
     finally:
         srv.stop()
+
+
+def test_cli_serve_smoke(tmp_path, monkeypatch, rng):
+    """CLI serve: boots the HTTP service on the synthetic dataset, answers a
+    caption request, exits after --serve-seconds."""
+    import json
+    import threading
+    import urllib.request
+
+    from lrp_imagecaptioning_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    orig = cli._build_dataset
+
+    def small(args):
+        cfg, ds = orig(args)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        return cfg, ds
+
+    monkeypatch.setattr(cli, "_build_dataset", small)
+
+    result = {}
+
+    def client():
+        import time
+        base = "http://127.0.0.1:18923"
+        for _ in range(120):
+            try:
+                with urllib.request.urlopen(f"{base}/healthz", timeout=2) as r:
+                    if json.load(r)["ok"]:
+                        break
+            except Exception:
+                time.sleep(1)
+        imgs = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/caption", data=json.dumps({"images": imgs.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            result["captions"] = json.load(r)["captions"]
+
+    t = threading.Thread(target=client)
+    t.start()
+    cli.main([
+        "serve", "--dataset", "synthetic", "--model", "adaptiveattention",
+        "--batch-size", "2", "--beam-size", "1", "--port", "18923",
+        "--serve-seconds", "45",
+    ])
+    t.join(timeout=60)
+    assert len(result.get("captions", [])) == 1
+    assert isinstance(result["captions"][0], str)
