@@ -76,7 +76,12 @@ class Explainer:
     maps come back in input space for rendering / bbox evaluation.
     """
 
-    def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None):
+    def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None,
+                 storage_dtype=None):
+        """``storage_dtype=jnp.bfloat16`` holds the VGG-LRP backward's
+        activations/relevances in bf16 — the production throughput mode
+        (+12% measured; heatmap deviation ~0.9% of map scale, see
+        cnn_lrp.py). Default f32 for exactness."""
         if method not in METHODS:
             raise ValueError(f"method {method!r} not in {METHODS}")
         self.captioner = captioner
@@ -93,6 +98,7 @@ class Explainer:
         self._sg_samples = 8
         self._sg_noise = 16.0
         self._noise_seed = 0
+        self._storage_dtype = storage_dtype
         self._decode = jax.jit(self._decode_impl)
         self._explain = jax.jit(self._explain_impl)
 
@@ -195,7 +201,8 @@ class Explainer:
                 maps = jax.vmap(one_cam)(maps, seeds)
         elif self.method == "lrp":
             maps = vgg_lrp_preset_a_wordbatched(
-                params["vgg"], image[None], seeds, cap.cfg.img_encoder, cap.cfg.layer_name
+                params["vgg"], image[None], seeds, cap.cfg.img_encoder, cap.cfg.layer_name,
+                storage_dtype=self._storage_dtype,
             )
         elif self.method == "gradient":
             maps = jax.vmap(lambda s: vgg_gradient(

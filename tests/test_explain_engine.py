@@ -113,3 +113,20 @@ def test_explainer_augmentation_methods(method, rng):
     assert result.relevance_maps.shape == (2, 32, 32, 3)
     assert np.isfinite(result.relevance_maps).all()
     assert np.abs(result.relevance_maps).sum() > 0
+
+
+def test_explainer_bf16_storage_close_to_f32(rng):
+    """Production throughput mode: bf16-storage heatmaps stay within a few
+    percent of the f32 maps (per-map scale)."""
+    import jax.numpy as jnp
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    toks = np.array([5, 7, 2, 0, 0], np.int32)
+    f32 = Explainer(cap, params, FakePP(), method="lrp").analyze(image, tokens_1based=toks)
+    bf = Explainer(cap, params, FakePP(), method="lrp",
+                   storage_dtype=jnp.bfloat16).analyze(image, tokens_1based=toks)
+    assert bf.relevance_maps.dtype == np.float32
+    scale = np.abs(f32.relevance_maps).max()
+    assert np.abs(bf.relevance_maps - f32.relevance_maps).max() / scale < 0.05
