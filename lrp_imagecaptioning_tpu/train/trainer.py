@@ -45,12 +45,18 @@ class Trainer:
     train with the reference's schedule semantics."""
 
     def __init__(self, model_type: str, config, dataset, label: str = "run",
-                 mesh=None, seed: int = 0, eval_metrics: bool = True):
+                 mesh=None, seed: int = 0, eval_metrics: bool = True,
+                 multihost: bool = False):
         self.model_type = model_type
         self.config = config
         self.dataset = dataset
         self.label = label
         self.mesh = mesh
+        # multihost: this process's provider yields only its shard of the
+        # global batch (parallel/distributed.py::process_batch_slice); batches
+        # are assembled into global arrays with no cross-host gather.
+        # Single-process this is bit-identical to the plain path.
+        self._multihost = multihost and mesh is not None
         self._eval_metrics = eval_metrics
 
         from ..data.provider import DatasetProvider
@@ -86,6 +92,13 @@ class Trainer:
         )
         os.makedirs(self.result_dir, exist_ok=True)
 
+    def _place(self, arr):
+        if self._multihost:
+            from ..parallel.distributed import global_batch_from_local
+
+            return global_batch_from_local(self.mesh, arr)
+        return jnp.asarray(arr)
+
     # -- weights -----------------------------------------------------------
 
     def load_weights(self, path: str):
@@ -112,9 +125,9 @@ class Trainer:
         tot = {"loss": 0.0, "accuracy": 0.0}
         for _ in range(steps):
             (cap_in, imgs), y = next(generator)
-            imgs = jnp.asarray(imgs)
-            cap_in = jnp.asarray(cap_in)
-            y = jnp.asarray(y)
+            imgs = self._place(imgs)
+            cap_in = self._place(cap_in)
+            y = self._place(y)
             if training:
                 self._rng, sub = jax.random.split(self._rng)
                 self.params, self.opt_state, m = self._train_step(

@@ -66,3 +66,29 @@ def test_trainer_with_mesh(tmp_path, monkeypatch):
     assert len(history) == 1
     assert np.isfinite(history[0]["loss"])
     assert np.isfinite(history[0]["val_loss"])
+
+
+@pytest.mark.slow
+def test_trainer_multihost_degenerate_matches_plain_mesh(tmp_path, monkeypatch):
+    """multihost=True in a single process must be bit-identical to the plain
+    mesh path (the local shard IS the global batch)."""
+    monkeypatch.chdir(tmp_path)
+    from lrp_imagecaptioning_tpu.parallel import make_mesh
+
+    cfg = FlickrConfig(
+        embedding_dim=16, hidden_dim=16, sentence_length=6, drop_rate=0.0,
+        batch_size=8, rare_words_handling="nothing", learning_rate=1e-3,
+    )
+    ds = SyntheticDataset(cfg, n_train=8, n_val=8, n_test=8,
+                          cache_dir=str(tmp_path / "imgs"))
+    mesh = make_mesh(8)
+    hists = []
+    for mh in (False, True):
+        trainer = Trainer("adaptiveattention", cfg, ds, label=f"mh-{mh}",
+                          mesh=mesh, eval_metrics=False, multihost=mh)
+        hists.append(trainer.run(epochs=1, steps_per_epoch=2))
+    # train goes through the sharded step's in_shardings in both modes ->
+    # bit-identical; eval runs unsharded vs data-sharded -> reduction-order
+    # float noise only
+    assert hists[0][0]["loss"] == hists[1][0]["loss"]
+    np.testing.assert_allclose(hists[0][0]["val_loss"], hists[1][0]["val_loss"], rtol=1e-5)
