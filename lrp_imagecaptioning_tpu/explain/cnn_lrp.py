@@ -142,6 +142,50 @@ def vgg_lrp_preset_b_flat(params, image, relevance_seed, arch="vgg16", until="bl
     return r
 
 
+def vgg_deep_taylor(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
+    """DeepTaylor decomposition (reference: innvestigate/analyzer/deeptaylor.py:38-153).
+
+    Rule wiring per the reference's conditional mappings: kernel layers with
+    ReLU -> Alpha1Beta0 (deeptaylor.py:56-61), max-pooling -> gradient/WTA
+    (deeptaylor.py:85-89). Every conv in the tapped VGG stack carries a ReLU,
+    so the walk is alpha1beta0 throughout — the WSquare branch for
+    kernel-without-relu layers (deeptaylor.py:62-67) never fires here.
+
+    The reference's ``_prepare_model`` clamps model outputs through a ReLU so
+    only positive relevance enters the decomposition (deeptaylor.py:144-153);
+    in this seeded design that is a relu on the seed itself.
+    """
+    seed = jax.nn.relu(relevance_seed)
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(r, x, k, b, alpha=1.0, beta=0.0, input_nonneg=nn)
+    return _vgg_lrp_backward(params, inputs, seed, arch, until, rule)
+
+
+def vgg_deep_taylor_bounded(params, image, relevance_seed, low, high,
+                            arch="vgg16", until="block5_conv3"):
+    """BoundedDeepTaylor: DeepTaylor with the Z^B (bounded) rule on the input
+    layer (reference: deeptaylor.py:157-200 — BoundedProxyRule at priority 10
+    on the first kernel layer; low/high are the input value range and are
+    mandatory, deeptaylor.py:170-173)."""
+    from ..ops.lrp_conv import lrp_conv_bounded
+
+    seed = jax.nn.relu(relevance_seed)
+    ops = vgg_layers(arch, until)
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
+    r = seed
+    for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
+        is_input_layer = idx == len(ops) - 1
+        if op[0] == "conv":
+            p = params[op[1]]
+            if is_input_layer:
+                r = lrp_conv_bounded(r, x, p["kernel"], low=low, high=high)
+            else:
+                r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=1.0, beta=0.0, input_nonneg=True)
+        else:
+            r = lrp_maxpool_wta(r, x)
+    return r
+
+
 def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", until="block5_conv3",
                                  compute_dtype=None, storage_dtype=None):
     """Per-word LRP with the forward pass shared across words.
