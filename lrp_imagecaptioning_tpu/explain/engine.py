@@ -19,6 +19,15 @@ Methods (same registry the reference exposes one class per entry for):
   'guided_gradcam'       — ... + GuidedBackprop x GradCAM (explainers.py:925-991)
   'guided_backprop'      — ... + GuidedBackprop alone (gradient_based.py:228-265)
   'deconvnet'            — ... + Deconvnet relu-on-backprop (gradient_based.py:267+)
+  'deep_taylor'          — decoder epsilon-LRP + CNN DeepTaylor (deeptaylor.py:38-153)
+  'deep_lift'            — decoder epsilon-LRP + CNN DeepLIFT rescale (deeplift.py:44-255)
+
+The reference never wires its vendored DeepTaylor/DeepLIFT analyzers into the
+captioning explainers; exposing them here is a capability extension on the
+same seeded engine (the decoder side propagates relevance with the LRP
+recursion, the CNN side swaps the analyzer — the same split every method
+family uses). Standalone (non-captioning) analysis of the full 32-name
+catalogue lives in explain/analyzers.py.
 """
 
 from __future__ import annotations
@@ -40,7 +49,12 @@ from .decoder_grad import grad_word_adaptive, grad_word_gridtd
 from .decoder_lrp import explain_word_adaptive, explain_word_gridtd
 
 METHODS = ("lrp", "gradient", "input_times_gradient", "guided_gradcam",
-           "integrated_gradients", "smoothgrad", "guided_backprop", "deconvnet")
+           "integrated_gradients", "smoothgrad", "guided_backprop", "deconvnet",
+           "deep_taylor", "deep_lift")
+
+# relevance-propagation methods: the decoder side runs the LRP recursion;
+# everything else shares the reference-semantics BPTT gradient backward
+_RELEVANCE_METHODS = ("lrp", "deep_taylor", "deep_lift")
 
 
 @dataclass
@@ -63,8 +77,8 @@ def _decoder_backward_fn(model_type: str, method: str):
     if model_type == "aoa":
         from .aoa_backward import explain_word_aoa, grad_word_aoa
 
-        return explain_word_aoa if method == "lrp" else grad_word_aoa
-    if method == "lrp":
+        return explain_word_aoa if method in _RELEVANCE_METHODS else grad_word_aoa
+    if method in _RELEVANCE_METHODS:
         return explain_word_adaptive if model_type == "adaptiveattention" else explain_word_gridtd
     return grad_word_adaptive if model_type == "adaptiveattention" else grad_word_gridtd
 
@@ -87,7 +101,7 @@ class Explainer:
         self.captioner = captioner
         self.params = params
         self._pp = caption_pp
-        if (method in ("integrated_gradients", "smoothgrad")
+        if (method in ("integrated_gradients", "smoothgrad", "deep_taylor", "deep_lift")
                 and captioner.cfg.img_encoder not in ("vgg16", "vgg19")):
             raise NotImplementedError(f"{method!r} is implemented for VGG encoders")
         self.method = method
@@ -227,6 +241,18 @@ class Explainer:
             from .cnn_gradient import vgg_deconvnet
 
             maps = jax.vmap(lambda s: vgg_deconvnet(
+                params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
+            )[0])(seeds)
+        elif self.method == "deep_taylor":
+            from .cnn_lrp import vgg_deep_taylor
+
+            maps = jax.vmap(lambda s: vgg_deep_taylor(
+                params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
+            )[0])(seeds)
+        elif self.method == "deep_lift":
+            from .cnn_deeplift import vgg_deeplift
+
+            maps = jax.vmap(lambda s: vgg_deeplift(
                 params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
             )[0])(seeds)
         elif self.method == "smoothgrad":

@@ -89,7 +89,8 @@ def test_analyze_batch_matches_per_image(rng):
         )
 
 
-@pytest.mark.parametrize("method", ["input_times_gradient", "guided_gradcam", "guided_backprop", "deconvnet"])
+@pytest.mark.parametrize("method", ["input_times_gradient", "guided_gradcam", "guided_backprop",
+                                    "deconvnet", "deep_taylor", "deep_lift"])
 def test_explainer_remaining_methods(method, rng):
     cap = build_captioner("adaptiveattention", CFG, VOCAB)
     params = cap.init_params(jax.random.PRNGKey(0))
