@@ -121,6 +121,30 @@ def collect_word_stats(explainer, provider, id_to_prediction: dict, category_lis
     return save
 
 
+def dump_word_stats(word_stats: dict, path: str) -> None:
+    """Persist collected stats in the reference's pickle artifact layout:
+    {img_filename: {'predict_caption': str, 'true_captions': [str],
+    'beta': [(category, value)], ...}} — the ``save_dict`` pickles of
+    analyze_*_of_category_generate_* (exaimin_word.py:413-414, 453-454,
+    535-536, 576-577), so downstream reference analysis scripts
+    (exaimin_word.py:623-746 load these with ``pickle.load``) can read them."""
+    import os
+    import pickle
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(word_stats, f)
+
+
+def load_word_stats(path: str) -> dict:
+    """Read a stats pickle written by :func:`dump_word_stats` (or by the
+    reference's generate scripts — same layout)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def _project_pos_no_shift(x: np.ndarray) -> np.ndarray:
     """x / max|x| without the negative shift (exaimin_word.py:80-89)."""
     absmax = np.max(np.abs(x))

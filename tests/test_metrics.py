@@ -78,3 +78,22 @@ def test_bbox_correctness():
     box = [2, 2, 4, 4]    # xmin ymin xmax ymax
     assert abs(correctness(box, rel, 0.0) - 4 / 5) < 1e-9
     assert correctness(box, np.zeros((10, 10)), 0.0) == 0.0
+
+
+def test_word_stats_pickle_roundtrip(tmp_path):
+    """dump_word_stats writes the reference's save_dict pickle layout
+    (exaimin_word.py:413-414) and load_word_stats round-trips it."""
+    from lrp_imagecaptioning_tpu.evalx.words import dump_word_stats, load_word_stats
+
+    stats = {
+        "img1.jpg": {
+            "predict_caption": "a man with a dog",
+            "true_captions": ["a man walks a dog", "person and dog"],
+            "beta": [("man", 0.4), ("dog", 0.1)],
+            "lrp_mean": [("man", 0.02)],
+            "attention_mean": [("man", 0.5)],
+        }
+    }
+    p = str(tmp_path / "out" / "flickr30K_beta_analyze_category_top9.pkl")
+    dump_word_stats(stats, p)
+    assert load_word_stats(p) == stats
