@@ -13,16 +13,24 @@ from lrp_imagecaptioning_tpu.ops.pallas_conv_lrp import (
 )
 
 
-def test_conv3x3_fused_divide_matches_xla(rng):
+def test_conv3x3_fused_divide_matches_xla():
+    # dedicated rng: with the shared session fixture this test's values (and
+    # hence how close z gets to 0, where r/z amplifies float differences)
+    # depended on test ordering — it flaked under the full suite
+    rng = np.random.default_rng(42)
     N, H, W, cin, cout = 2, 8, 16, 8, 16
     x = jnp.abs(jnp.asarray(rng.normal(size=(N, H, W, cin)).astype(np.float32)))
     k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
     r = jnp.asarray(rng.normal(size=(N, H, W, cout)).astype(np.float32))
-    z = conv2d(x, k) + b
-    expected = np.asarray(r) / (np.asarray(z) + (np.asarray(z) == 0) * 1e-7)
-    got = conv3x3_fused(x, r, k, b, mode="divide", interpret=True)
-    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-3, atol=1e-4)
+    z = np.asarray(conv2d(x, k) + b)
+    expected = np.asarray(r) / (z + (z == 0) * 1e-7)
+    got = np.asarray(conv3x3_fused(x, r, k, b, mode="divide", interpret=True))
+    # compare only where the quotient is well-conditioned; near-zero z rows
+    # amplify conv rounding differences into unbounded relative error
+    ok = np.abs(z) > 1e-2
+    assert ok.mean() > 0.9
+    np.testing.assert_allclose(got[ok], expected[ok], rtol=1e-3, atol=1e-4)
 
 
 def test_conv3x3_fused_multiply_matches_xla(rng):
