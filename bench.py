@@ -31,8 +31,11 @@ KERAS_CPU_BASELINE_IMG_PER_S = 0.05
 import os as _os
 
 # batch sweep on v5e (img/s/chip): 8 -> 79.5, 16 -> 80.9, 32 -> 81.8,
-# 64 -> FailedPrecondition (program exceeds the remote-compile path's limit)
-BATCH = int(_os.environ.get("LRPIC_BENCH_BATCH", "32"))
+# 64 -> FailedPrecondition (program exceeds the remote-compile path's limit);
+# with bf16 storage: 32 -> 91.3, 40 -> 92.1, 48 -> 92.3, 56 -> 93.1,
+# 60 -> 93.3. Default 56: within 0.2% of the sweep peak and divisible by 8
+# so the LRPIC_BENCH_MESH=8 configuration shards evenly.
+BATCH = int(_os.environ.get("LRPIC_BENCH_BATCH", "56"))
 VOCAB = 7003
 BEAM = 3
 T = 20
