@@ -43,7 +43,6 @@ import jax.numpy as jnp
 
 from ..models.vgg import vgg_apply_with_acts
 from ..ops.lrp_conv import (
-    lrp_conv_epsilon,
     lrp_conv_flat,
     lrp_conv_wsquare,
 )
@@ -185,10 +184,20 @@ def create_analyzer(name, params, **fixed_kwargs):
 
 def augment_reduce(analyze_fn, image, relevance_seed, augment_fn, n: int, reduce="mean"):
     """AugmentReduceBase (wrapper.py:78-166): run the sub-analyzer on ``n``
-    augmented copies of the input and average the analyses."""
+    augmented copies of the input and reduce the analyses over the copies.
+    ``reduce``: "mean" | "sum" | "stack" (no reduction) | a callable applied
+    to the (n, ...) stacked maps along axis 0."""
     maps = [analyze_fn(augment_fn(image, i), relevance_seed) for i in range(n)]
     stacked = jnp.stack(maps)
-    return stacked.mean(0) if reduce == "mean" else stacked
+    if callable(reduce):
+        return reduce(stacked, 0)
+    if reduce == "mean":
+        return stacked.mean(0)
+    if reduce == "sum":
+        return stacked.sum(0)
+    if reduce == "stack":
+        return stacked
+    raise ValueError(f"reduce must be 'mean', 'sum', 'stack' or callable, got {reduce!r}")
 
 
 def gaussian_smoother(analyze_fn, image, relevance_seed, rng_key,
@@ -207,8 +216,10 @@ def path_integrator(analyze_fn, image, relevance_seed, steps: int = 16,
                     reference_inputs=0.0):
     """PathIntegrator (wrapper.py: IntegratedGradients generalized): average
     the sub-analysis along the straight path from the reference input, then
-    re-weight by (input − reference)."""
+    re-weight by (input − reference). Uses the same midpoint alpha grid as
+    vgg_integrated_gradients so PathIntegrator(gradient) == IntegratedGradients
+    exactly."""
     ref = jnp.broadcast_to(jnp.asarray(reference_inputs, image.dtype), image.shape)
-    alphas = (jnp.arange(steps, dtype=image.dtype) + 1.0) / steps
+    alphas = (jnp.arange(steps, dtype=image.dtype) + 0.5) / steps
     maps = [analyze_fn(ref + a * (image - ref), relevance_seed) for a in alphas]
     return (image - ref) * jnp.stack(maps).mean(0)

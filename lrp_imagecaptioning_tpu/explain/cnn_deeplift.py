@@ -19,8 +19,8 @@ of a reversed Keras graph:
 * The head seed is the caller's explicit relevance tensor: the reference's
   ``_head_mapping`` (deeplift.py:217-218) seeds with (output − output_ref);
   this framework's seeded 'replace' design (see cnn_lrp.py) makes the seed
-  an argument so decoder relevance can be injected at the tapped layer. Pass
-  ``seed = features − features_ref`` to reproduce the standalone analyzer.
+  an argument so decoder relevance can be injected at the tapped layer.
+  :func:`vgg_deeplift_standalone` reproduces the standalone analyzer.
 
 ``approximate_gradient=False`` reproduces the reference's alternative branch:
 ``a·(Δy/(Δx+eps))`` for activations and plain Δx re-weighting for kernels
@@ -32,8 +32,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..models.vgg import vgg_layers
-from ..ops.lrp_conv import conv2d, conv2d_input_vjp, maxpool2d, lrp_maxpool_wta
+from ..models.vgg import vgg_apply_with_acts, vgg_layers
+from ..ops.lrp_conv import conv2d, lrp_maxpool_wta
 from ..ops.lrp_core import safe_divide
 
 # K.epsilon() — the Keras fuzz factor used by the reference's switch and
@@ -41,31 +41,8 @@ from ..ops.lrp_core import safe_divide
 _K_EPSILON = 1e-7
 
 
-def _forward_with_acts(params, x, arch, until):
-    inputs = []
-    for op in vgg_layers(arch, until):
-        inputs.append(x)
-        if op[0] == "conv":
-            p = params[op[1]]
-            x = jax.nn.relu(conv2d(x, p["kernel"]) + p["bias"])
-        else:
-            x = maxpool2d(x)
-    return x, inputs
-
-
-def vgg_deeplift(params, image, relevance_seed, arch="vgg16", until="block5_conv3",
-                 reference_inputs=0.0, approximate_gradient=True):
-    """DeepLIFT-rescale attribution, seeded at the tapped feature grid.
-
-    image: (B, H, W, 3) preprocessed; relevance_seed: (B, h, w, C) at
-    ``until``; reference_inputs: scalar or (B, H, W, 3) baseline image.
-    Returns input-space attribution (B, H, W, 3).
-    """
-    ref_img = jnp.broadcast_to(jnp.asarray(reference_inputs, image.dtype), image.shape)
-    out, inputs = _forward_with_acts(params, image, arch, until)
-    out_ref, inputs_ref = _forward_with_acts(params, ref_img, arch, until)
-
-    ops = vgg_layers(arch, until)
+def _deeplift_backward(params, relevance_seed, ops, inputs, inputs_ref,
+                       out, out_ref, approximate_gradient):
     # Per-op outputs = next op's input; final outputs are the tapped features.
     outputs = inputs[1:] + [out]
     outputs_ref = inputs_ref[1:] + [out_ref]
@@ -97,13 +74,28 @@ def vgg_deeplift(params, image, relevance_seed, arch="vgg16", until="block5_conv
     return r
 
 
+def vgg_deeplift(params, image, relevance_seed, arch="vgg16", until="block5_conv3",
+                 reference_inputs=0.0, approximate_gradient=True):
+    """DeepLIFT-rescale attribution, seeded at the tapped feature grid.
+
+    image: (B, H, W, 3) preprocessed; relevance_seed: (B, h, w, C) at
+    ``until``; reference_inputs: scalar or (B, H, W, 3) baseline image.
+    Returns input-space attribution (B, H, W, 3).
+    """
+    ref_img = jnp.broadcast_to(jnp.asarray(reference_inputs, image.dtype), image.shape)
+    out, inputs = vgg_apply_with_acts(params, image, arch, until)
+    out_ref, inputs_ref = vgg_apply_with_acts(params, ref_img, arch, until)
+    return _deeplift_backward(params, relevance_seed, vgg_layers(arch, until),
+                              inputs, inputs_ref, out, out_ref, approximate_gradient)
+
+
 def vgg_deeplift_standalone(params, image, arch="vgg16", until="block5_conv3",
                             reference_inputs=0.0, approximate_gradient=True):
     """The reference's standalone head: seed = features − reference features
-    (``_head_mapping``, deeplift.py:217-218)."""
+    (``_head_mapping``, deeplift.py:217-218). Shares one pair of forward
+    passes between the seed and the backward walk."""
     ref_img = jnp.broadcast_to(jnp.asarray(reference_inputs, image.dtype), image.shape)
-    out, _ = _forward_with_acts(params, image, arch, until)
-    out_ref, _ = _forward_with_acts(params, ref_img, arch, until)
-    return vgg_deeplift(params, image, out - out_ref, arch=arch, until=until,
-                        reference_inputs=reference_inputs,
-                        approximate_gradient=approximate_gradient)
+    out, inputs = vgg_apply_with_acts(params, image, arch, until)
+    out_ref, inputs_ref = vgg_apply_with_acts(params, ref_img, arch, until)
+    return _deeplift_backward(params, out - out_ref, vgg_layers(arch, until),
+                              inputs, inputs_ref, out, out_ref, approximate_gradient)

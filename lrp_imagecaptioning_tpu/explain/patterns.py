@@ -149,16 +149,10 @@ def compute_vgg_patterns(params, image_batches, pattern_type="linear",
 
 def _pattern_backward(params, patterns, image, relevance_seed, arch, until,
                       attribution: bool):
+    from ..models.vgg import vgg_apply_with_acts
+
     ops = vgg_layers(arch, until)
-    inputs = []
-    x = image
-    for op in ops:
-        inputs.append(x)
-        if op[0] == "conv":
-            p = params[op[1]]
-            x = jax.nn.relu(conv2d(x, p["kernel"]) + p["bias"])
-        else:
-            x = maxpool2d(x)
+    _, inputs = vgg_apply_with_acts(params, image, arch, until)
     r = relevance_seed
     for op, xin in zip(reversed(ops), reversed(inputs)):
         if op[0] == "conv":

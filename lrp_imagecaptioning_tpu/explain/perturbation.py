@@ -25,7 +25,7 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import numpy as np
 
@@ -44,19 +44,14 @@ class Perturbation:
         self._rng = rng or np.random.default_rng(0)
         self._builtin_mode = None
         if isinstance(perturbation_function, str):
-            rng_ = self._rng
-            table: dict[str, Callable] = {
-                "zeros": np.zeros_like,
-                # scale 1/3 keeps most draws within ±1 (perturbate.py:50-51)
-                "gaussian": lambda x: rng_.normal(0.0, 0.3, size=x.shape),
-                "mean": lambda x: np.full_like(x, np.mean(x)),
-                "invert": lambda x: -x,
-            }
-            if perturbation_function not in table:
+            # builtin modes (zeros/gaussian/mean/invert, perturbate.py:45-57)
+            # run through the vectorized branch of perturbate_on_batch;
+            # only custom callables are applied per region
+            if perturbation_function not in ("zeros", "gaussian", "mean", "invert"):
                 raise ValueError(
                     f"Perturbation function type {perturbation_function!r} not known.")
             self._builtin_mode = perturbation_function
-            self.perturbation_function = table[perturbation_function]
+            self.perturbation_function = None
         elif callable(perturbation_function):
             self.perturbation_function = perturbation_function
         else:
@@ -182,11 +177,17 @@ class PerturbationAnalysis:
         return float(np.average(scores, weights=weights))
 
     def compute_perturbation_analysis(self):
+        # the curve always starts at 1 region (perturbate.py:377); the
+        # caller's configured num_perturbed_regions is restored afterwards
+        # (the reference resets to the hardcoded 1, perturbate.py:395)
+        prior = self.perturbation.num_perturbed_regions
         scores = [self._evaluate(perturb=False)]            # unperturbed first
         self.perturbation.num_perturbed_regions = 1
-        for _ in range(self.steps):
-            scores.append(self._evaluate(perturb=True))
-            self.perturbation.num_perturbed_regions += self.regions_per_step
-        self.perturbation.num_perturbed_regions = 1
+        try:
+            for _ in range(self.steps):
+                scores.append(self._evaluate(perturb=True))
+                self.perturbation.num_perturbed_regions += self.regions_per_step
+        finally:
+            self.perturbation.num_perturbed_regions = prior
         assert len(scores) == self.steps + 1
         return scores
