@@ -170,3 +170,24 @@ def test_alpha_beta_nonneg_flag_exact(rng):
     full = lrp_conv_alpha_beta(r, x, k, b, 1.0, 0.0, input_nonneg=False)
     fast = lrp_conv_alpha_beta(r, x, k, b, 1.0, 0.0, input_nonneg=True)
     np.testing.assert_array_equal(np.asarray(full), np.asarray(fast))
+
+
+def test_preset_a_wordbatched_fused_matches_direct(rng):
+    """The algebraically-folded word-batched backward (m/w factorization)
+    must match the direct rule application, including across a pool (the
+    tie-mask rides on the word-independent factor)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import (
+        vgg_lrp_preset_a_wordbatched,
+        vgg_lrp_preset_a_wordbatched_fused,
+    )
+
+    for until in ("block1_conv2", "block2_conv1"):  # without / with a pool
+        params = init_vgg_params(jax.random.PRNGKey(0), "vgg16", until)
+        image = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+        g = 16 if until == "block1_conv2" else 8
+        ch = 64 if until == "block1_conv2" else 128
+        seeds = jnp.asarray(rng.normal(size=(3, g, g, ch)).astype(np.float32))
+        direct = vgg_lrp_preset_a_wordbatched(params, image, seeds, "vgg16", until)
+        fused = vgg_lrp_preset_a_wordbatched_fused(params, image, seeds, "vgg16", until)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(direct),
+                                   rtol=2e-4, atol=1e-6, err_msg=until)
