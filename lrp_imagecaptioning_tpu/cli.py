@@ -15,6 +15,12 @@ from __future__ import annotations
 
 import argparse
 
+# mirrors explain.engine.METHODS; kept as a literal so `--help` does not
+# import jax (tests assert the two stay in sync)
+_METHOD_CHOICES = ("lrp", "gradient", "input_times_gradient", "guided_gradcam",
+                   "integrated_gradients", "smoothgrad", "guided_backprop",
+                   "deconvnet", "deep_taylor", "deep_lift")
+
 
 def _build_dataset(args):
     from .config import COCO2014Config, COCOConfig, FlickrConfig
@@ -281,9 +287,7 @@ def main(argv=None):
     p = sub.add_parser("explain", help="word-by-word explanation (explain_image.py)")
     _add_common(p)
     p.add_argument("--method", default="lrp",
-                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam",
-                            "integrated_gradients", "smoothgrad", "guided_backprop",
-                            "deconvnet"])
+                   choices=list(_METHOD_CHOICES))
     p.add_argument("--image", default=None, help="explain one image file")
     p.add_argument("--num-images", type=int, default=1)
     p.add_argument("--beam-size", type=int, default=3)
@@ -314,9 +318,7 @@ def main(argv=None):
     p = sub.add_parser("serve", help="HTTP caption/explanation service (new capability)")
     _add_common(p)
     p.add_argument("--method", default="lrp",
-                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam",
-                            "integrated_gradients", "smoothgrad", "guided_backprop",
-                            "deconvnet"])
+                   choices=list(_METHOD_CHOICES))
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)

@@ -248,3 +248,11 @@ def test_cli_serve_smoke(tmp_path, monkeypatch, rng):
     t.join(timeout=60)
     assert len(result.get("captions", [])) == 1
     assert isinstance(result["captions"][0], str)
+
+
+def test_cli_method_choices_match_engine():
+    """cli keeps a jax-free literal copy of the engine method registry."""
+    from lrp_imagecaptioning_tpu.cli import _METHOD_CHOICES
+    from lrp_imagecaptioning_tpu.explain.engine import METHODS
+
+    assert _METHOD_CHOICES == METHODS
