@@ -101,7 +101,7 @@ class Explainer:
         self.captioner = captioner
         self.params = params
         self._pp = caption_pp
-        if (method in ("integrated_gradients", "smoothgrad", "deep_taylor", "deep_lift")
+        if (method in ("deep_taylor", "deep_lift")
                 and captioner.cfg.img_encoder not in ("vgg16", "vgg19")):
             raise NotImplementedError(f"{method!r} is implemented for VGG encoders")
         self.method = method
@@ -195,13 +195,40 @@ class Explainer:
             def enc(img):
                 return cap.encode(params, img[None], relu_fn=relu_fn)[0]  # (L, D)
 
-            _, enc_vjp = jax.vjp(enc, image)
+            L, D = cap.cfg.img_feature_length, cap.cfg.img_feature_dim
+            if self.method == "integrated_gradients":
+                # mean VJP along the zero-baseline path, times the image —
+                # the PathIntegrator recipe over the generic encoder
+                alphas = (jnp.arange(self._ig_steps, dtype=image.dtype) + 0.5) / self._ig_steps
 
-            def one_seed(s):
-                (gimg,) = enc_vjp(s.reshape(cap.cfg.img_feature_length, cap.cfg.img_feature_dim))
-                return gimg
+                def one_seed(s):
+                    def grad_at(a):
+                        _, vjp = jax.vjp(enc, a * image)
+                        return vjp(s.reshape(L, D))[0]
 
-            maps = jax.vmap(one_seed)(seeds)
+                    return image * jax.lax.map(grad_at, alphas).mean(axis=0)
+
+                maps = jax.vmap(one_seed)(seeds)
+            elif self.method == "smoothgrad":
+                keys = jax.random.split(jax.random.PRNGKey(self._noise_seed), self._sg_samples)
+
+                def one_seed(s):
+                    def grad_at(k):
+                        noisy = image + self._sg_noise * jax.random.normal(k, image.shape, image.dtype)
+                        _, vjp = jax.vjp(enc, noisy)
+                        return vjp(s.reshape(L, D))[0]
+
+                    return jax.lax.map(grad_at, keys).mean(axis=0)
+
+                maps = jax.vmap(one_seed)(seeds)
+            else:
+                _, enc_vjp = jax.vjp(enc, image)
+
+                def one_seed(s):
+                    (gimg,) = enc_vjp(s.reshape(L, D))
+                    return gimg
+
+                maps = jax.vmap(one_seed)(seeds)
             if self.method == "input_times_gradient":
                 maps = maps * image[None]
             elif self.method == "guided_gradcam":

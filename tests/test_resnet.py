@@ -65,6 +65,42 @@ def test_resnet_captioner_decode_and_gradient_explain(rng):
     assert np.isfinite(r2.relevance_maps).all()
 
 
+def test_resnet_augmentation_methods(rng):
+    """IG / SmoothGrad on a non-VGG encoder use the generic VJP path;
+    SmoothGrad at zero noise must equal the plain gradient maps."""
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+
+    cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
+    toks = np.array([5, 7, 2, 0, 0], np.int32)
+
+    ex_ig = Explainer(cap, params, PP(), method="integrated_gradients", beam_size=2)
+    ex_ig._ig_steps = 4
+    r_ig = ex_ig.analyze(image, tokens_1based=toks)
+    assert r_ig.relevance_maps.shape == (2, 64, 64, 3)
+    assert np.isfinite(r_ig.relevance_maps).all()
+    assert np.abs(r_ig.relevance_maps).sum() > 0
+
+    ex_sg = Explainer(cap, params, PP(), method="smoothgrad", beam_size=2)
+    ex_sg._sg_samples = 2
+    ex_sg._sg_noise = 0.0
+    r_sg = ex_sg.analyze(image, tokens_1based=toks)
+    r_g = Explainer(cap, params, PP(), method="gradient", beam_size=2).analyze(
+        image, tokens_1based=toks)
+    # the two programs fuse differently (lax.map-wrapped VJP vs direct VJP),
+    # so allow float accumulation-order noise
+    np.testing.assert_allclose(
+        r_sg.relevance_maps, r_g.relevance_maps, rtol=1e-3, atol=1e-5)
+
+
 def test_resnet_h5_roundtrip(tmp_path):
     """Write params in a Keras-like H5 layout, re-import, compare."""
     h5py = pytest.importorskip("h5py")
