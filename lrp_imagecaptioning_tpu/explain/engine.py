@@ -22,6 +22,11 @@ Methods (same registry the reference exposes one class per entry for):
   'deep_taylor'          — decoder epsilon-LRP + CNN DeepTaylor (deeptaylor.py:38-153)
   'deep_lift'            — decoder epsilon-LRP + CNN DeepLIFT rescale (deeplift.py:44-255)
 
+Every method runs on every encoder (vgg16/19 via the rule walks in
+cnn_lrp.py / cnn_gradient.py / cnn_deeplift.py; resnet50/101 and
+inception_v3 via resnet_lrp.py / inception_lrp.py for the relevance family
+and the generic encoder VJP for the gradient family).
+
 The reference never wires its vendored DeepTaylor/DeepLIFT analyzers into the
 captioning explainers; exposing them here is a capability extension on the
 same seeded engine (the decoder side propagates relevance with the LRP
@@ -101,9 +106,6 @@ class Explainer:
         self.captioner = captioner
         self.params = params
         self._pp = caption_pp
-        if (method in ("deep_taylor", "deep_lift")
-                and captioner.cfg.img_encoder not in ("vgg16", "vgg19")):
-            raise NotImplementedError(f"{method!r} is implemented for VGG encoders")
         self.method = method
         self._beam_size = beam_size
         self._max_len = max_len or captioner.cfg.sentence_length
@@ -171,18 +173,28 @@ class Explainer:
         # CNN backward, word-batched; seeds (T, 14, 14, 512)
         g = int(round(float(np.sqrt(cap.cfg.img_feature_length))))
         seeds = r_feat.reshape(T, g, g, cap.cfg.img_feature_dim)
-        if cap.cfg.img_encoder.startswith("resnet") and self.method == "lrp":
-            from .resnet_lrp import resnet_lrp_wordbatched
-
-            maps = resnet_lrp_wordbatched(
-                params["vgg"], image[None], seeds, depth=cap.cfg.img_encoder
+        if cap.cfg.img_encoder.startswith("resnet") and self.method in _RELEVANCE_METHODS:
+            from .resnet_lrp import (
+                resnet_deep_taylor_wordbatched,
+                resnet_deeplift_wordbatched,
+                resnet_lrp_wordbatched,
             )
-        elif cap.cfg.img_encoder == "inception_v3" and self.method == "lrp":
-            from .inception_lrp import inception_lrp_wordbatched
 
-            maps = inception_lrp_wordbatched(
-                params["vgg"], image[None], seeds, until=cap.cfg.layer_name
+            fn = {"lrp": resnet_lrp_wordbatched,
+                  "deep_taylor": resnet_deep_taylor_wordbatched,
+                  "deep_lift": resnet_deeplift_wordbatched}[self.method]
+            maps = fn(params["vgg"], image[None], seeds, depth=cap.cfg.img_encoder)
+        elif cap.cfg.img_encoder == "inception_v3" and self.method in _RELEVANCE_METHODS:
+            from .inception_lrp import (
+                inception_deep_taylor_wordbatched,
+                inception_deeplift_wordbatched,
+                inception_lrp_wordbatched,
             )
+
+            fn = {"lrp": inception_lrp_wordbatched,
+                  "deep_taylor": inception_deep_taylor_wordbatched,
+                  "deep_lift": inception_deeplift_wordbatched}[self.method]
+            maps = fn(params["vgg"], image[None], seeds, until=cap.cfg.layer_name)
         elif cap.cfg.img_encoder not in ("vgg16", "vgg19"):
             # generic autodiff path (inception / resnet): one VJP per word
             # seed; guided_gradcam swaps in the guided-backprop relu

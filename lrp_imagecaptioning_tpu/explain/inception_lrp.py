@@ -123,6 +123,126 @@ def _backward(params, cache, relevance_seed, until="mixed10"):
     return rel["input"]
 
 
+def _walk_backward(relevance_seed, until, conv_rev, pool_rev):
+    """Shared reverse walk over _SPEC: conv_rev(r, op) / pool_rev(r, op)
+    return the source relevance; concat splits by channel slices."""
+    rel = {until: relevance_seed}
+    seen_until = False
+    for op in reversed(_SPEC):
+        name = op[1]
+        if not seen_until:
+            if name != until:
+                continue
+            seen_until = True
+        r = rel.pop(name, None)
+        if r is None:
+            continue
+        if op[0] == "conv":
+            src = op[2]
+            rel[src] = rel.get(src, 0.0) + conv_rev(r, op)
+        elif op[0] == "pool":
+            src = op[2]
+            rel[src] = rel.get(src, 0.0) + pool_rev(r, op)
+        else:
+            off = 0
+            for s_name in op[2]:
+                ch = _CHANNELS[s_name]
+                rel[s_name] = rel.get(s_name, 0.0) + r[..., off : off + ch]
+                off += ch
+    return rel["input"]
+
+
+def _pool_gradient(cache):
+    """Default/DeepTaylor gradient reverse for pools: WTA for max, plain
+    VJP for average (deeptaylor.py:83-92; DeepLIFT default mapping)."""
+
+    def rev(r, op):
+        c = cache[op[1]]
+        x = c["in"]
+        if c["kind"] == "max" and c["p"] == "VALID":
+            from ..ops.lrp_conv import lrp_maxpool_overlapping_wta
+
+            return lrp_maxpool_overlapping_wta(r, x, c["w"], c["s"])
+        _, vjp = jax.vjp(lambda t: _pool(t, c["kind"], c["w"], c["s"], c["p"]), x)
+        return vjp(r)[0]
+
+    return rev
+
+
+def inception_deep_taylor_wordbatched(params, image, relevance_seeds,
+                                      until: str = "mixed10"):
+    """Per-word DeepTaylor (reference: deeptaylor.py:52-137) through
+    InceptionV3. Keras inception convs carry no fused activation, so kernel
+    layers take the WSquareRule branch (deeptaylor.py:62-67); BN is
+    do_nothing (78-82); relu / pools / Concatenate reverse via the gradient
+    mapping. Seeds are relu-clamped (positive-output prep, 144-153)."""
+    from ..ops.lrp_conv import lrp_conv_wsquare
+
+    _, cache = _forward_cached(params, image, until)
+    pool_rev = _pool_gradient(cache)
+
+    def conv_rev(r, op):
+        _, name, _, _, _, s, p = op
+        c = cache[name]
+        r = jnp.where(c["bn"] > 0, r, 0.0)        # relu: gradient mask
+        return lrp_conv_wsquare(r, c["in"], params[name]["kernel"], s, p)
+
+    def one(seed):
+        return _walk_backward(jax.nn.relu(seed)[None], until, conv_rev, pool_rev)[0]
+
+    return jax.vmap(one)(relevance_seeds)
+
+
+# K.epsilon() — the fuzz factor of the reference's DeepLIFT switch/SafeDivide
+_K_EPSILON = 1e-7
+
+
+def inception_deeplift_wordbatched(params, image, relevance_seeds,
+                                   until: str = "mixed10", reference_inputs=0.0,
+                                   approximate_gradient: bool = True):
+    """Per-word DeepLIFT-rescale (reference: deeplift.py:120-197) through
+    InceptionV3: LinearRule on convs, RescaleRule on the separate relu
+    Activations, default gradient on BN / pools / Concatenate. One actual and
+    one reference forward shared across all word seeds."""
+    from ..models.inception import BN_EPS
+    from ..ops.lrp_conv import conv2d_input_vjp
+
+    ref = jnp.broadcast_to(jnp.asarray(reference_inputs, image.dtype), image.shape)
+    _, cache = _forward_cached(params, image, until)
+    _, cache_ref = _forward_cached(params, ref, until)
+    pool_rev = _pool_gradient(cache)
+
+    def conv_rev(r, op):
+        _, name, _, _, _, s, p = op
+        c, cr = cache[name], cache_ref[name]
+        pn = params[name]
+        # relu Activation: RescaleRule (deeplift.py:44-73)
+        dxa = c["bn"] - cr["bn"]
+        dya = jax.nn.relu(c["bn"]) - jax.nn.relu(cr["bn"])
+        if approximate_gradient:
+            resc = r * dya / jnp.where(jnp.abs(dxa) < _K_EPSILON, 1.0, dxa)
+            grad = jnp.where(c["bn"] > 0, r, 0.0)
+            r = jnp.where(jnp.abs(dxa) < _K_EPSILON, grad, resc)
+        else:
+            r = r * dya / (dxa + _K_EPSILON)
+        # BN: default gradient mapping (pure scale in inference mode)
+        r = r * (pn["bn_gamma"] * jax.lax.rsqrt(pn["bn_var"] + BN_EPS))
+        # conv: LinearRule (deeplift.py:77-116)
+        dx = c["in"] - cr["in"]
+        dz = c["z"] - cr["z"]
+        s_t = safe_divide(r, dz, _K_EPSILON)
+        contrib = dx * conv2d_input_vjp(c["in"].shape, pn["kernel"], s_t, s, p)
+        if not approximate_gradient:
+            return contrib
+        grad = conv2d_input_vjp(c["in"].shape, pn["kernel"], r, s, p)
+        return jnp.where(jnp.abs(dx) < _K_EPSILON, grad, contrib)
+
+    def one(seed):
+        return _walk_backward(seed[None], until, conv_rev, pool_rev)[0]
+
+    return jax.vmap(one)(relevance_seeds)
+
+
 def inception_lrp_preset_a(params, image, relevance_seed, until: str = "mixed10"):
     """image (B, 299, 299, 3), seed (B, 8, 8, 2048) -> (B, 299, 299, 3)."""
     _, cache = _forward_cached(params, image, until)

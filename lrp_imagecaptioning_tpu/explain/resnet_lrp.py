@@ -135,6 +135,146 @@ def _backward(params, cache, relevance_seed, depth):
     return r[:, 3:-3, 3:-3, :]
 
 
+def _backward_deep_taylor(params, cache, relevance_seed, depth):
+    """DeepTaylor rule walk (reference: deeptaylor.py:52-137) on resnet.
+
+    Keras resnet convs carry no fused activation (relu lives in separate
+    Activation layers), so every kernel layer takes the WSquareRule branch
+    (deeptaylor.py:62-67); BatchNorm is do_nothing (78-82); relu / Add /
+    max-pool reverse via the gradient mapping (70-76, 83-98) — relu masks,
+    Add passes the full relevance to both summands, pool is winner-take-all.
+    """
+    from ..ops.lrp_conv import lrp_conv_wsquare
+
+    r = relevance_seed
+    for stage, blocks, _, stage_stride in reversed(_stages(depth)):
+        for bi, block in reversed(list(enumerate(blocks))):
+            s = stage_stride if bi == 0 else 1
+            base = f"res{stage}{block}_branch"
+            y, shortcut = cache[f"_add_{stage}{block}"]
+            r = jnp.where(y + shortcut > 0, r, 0.0)   # post-add relu: gradient
+            r_branch = r                              # Add: gradient to both
+            r_short = r
+            r_branch = lrp_conv_wsquare(r_branch, cache[base + "2c"]["in"],
+                                        params[base + "2c"]["kernel"], 1, "VALID")
+            r_branch = jnp.where(cache[base + "2b"]["bn"] > 0, r_branch, 0.0)
+            r_branch = lrp_conv_wsquare(r_branch, cache[base + "2b"]["in"],
+                                        params[base + "2b"]["kernel"], 1, "SAME")
+            r_branch = jnp.where(cache[base + "2a"]["bn"] > 0, r_branch, 0.0)
+            r_branch = lrp_conv_wsquare(r_branch, cache[base + "2a"]["in"],
+                                        params[base + "2a"]["kernel"], s, "VALID")
+            if bi == 0:
+                r_short = lrp_conv_wsquare(r_short, cache[base + "1"]["in"],
+                                           params[base + "1"]["kernel"], s, "VALID")
+            r = r_branch + r_short
+    r = _lrp_maxpool_3x3s2(r, cache["_stem_pool_in"])
+    r = jnp.where(cache["conv1"]["bn"] > 0, r, 0.0)
+    r = lrp_conv_wsquare(r, cache["conv1"]["in"], params["conv1"]["kernel"], 2, "VALID")
+    return r[:, 3:-3, 3:-3, :]
+
+
+# K.epsilon() — the fuzz factor of the reference's DeepLIFT switch/SafeDivide
+_K_EPSILON = 1e-7
+
+
+def _backward_deeplift(params, cache, cache_ref, relevance_seed, depth,
+                       approximate=True):
+    """DeepLIFT-rescale walk (reference: deeplift.py:120-197) on resnet.
+
+    Kernel layers (the convs) take the LinearRule (deeplift.py:77-116):
+    R/Δz through the conv VJP, re-weighted by Δx, with a plain-gradient
+    fallback where |Δx| < eps. Separate relu Activation layers take the
+    RescaleRule (deeplift.py:44-73): R·Δy/Δx with the same fallback. BN,
+    Add, max-pool and the stem pad have neither kernel nor activation and
+    reverse via the default gradient mapping.
+    """
+    from ..ops.lrp_conv import conv2d_input_vjp
+
+    def conv_linear(r, name, stride, padding):
+        c, cr = cache[name], cache_ref[name]
+        dx = c["in"] - cr["in"]
+        dz = c["z"] - cr["z"]
+        k = params[name]["kernel"]
+        s_t = safe_divide(r, dz, _K_EPSILON)
+        contrib = dx * conv2d_input_vjp(c["in"].shape, k, s_t, stride, padding)
+        if not approximate:
+            return contrib
+        grad = conv2d_input_vjp(c["in"].shape, k, r, stride, padding)
+        return jnp.where(jnp.abs(dx) < _K_EPSILON, grad, contrib)
+
+    def relu_rescale(r, x, x_ref):
+        dx = x - x_ref
+        dy = jax.nn.relu(x) - jax.nn.relu(x_ref)
+        if not approximate:
+            return r * dy / (dx + _K_EPSILON)
+        resc = r * dy / jnp.where(jnp.abs(dx) < _K_EPSILON, 1.0, dx)
+        grad = jnp.where(x > 0, r, 0.0)
+        return jnp.where(jnp.abs(dx) < _K_EPSILON, grad, resc)
+
+    def bn_gradient(r, bn_name):
+        p = params[bn_name]
+        return r * (p["gamma"] * jax.lax.rsqrt(p["moving_var"] + BN_EPS))
+
+    def rev_unit(r, name, bn_name, stride, padding, relu=True):
+        if relu:
+            r = relu_rescale(r, cache[name]["bn"], cache_ref[name]["bn"])
+        r = bn_gradient(r, bn_name)
+        return conv_linear(r, name, stride, padding)
+
+    r = relevance_seed
+    for stage, blocks, _, stage_stride in reversed(_stages(depth)):
+        for bi, block in reversed(list(enumerate(blocks))):
+            s = stage_stride if bi == 0 else 1
+            base = f"res{stage}{block}_branch"
+            bn = f"bn{stage}{block}_branch"
+            y, shortcut = cache[f"_add_{stage}{block}"]
+            y_ref, shortcut_ref = cache_ref[f"_add_{stage}{block}"]
+            r = relu_rescale(r, y + shortcut, y_ref + shortcut_ref)
+            r_branch = r                              # Add: gradient to both
+            r_short = r
+            r_branch = rev_unit(r_branch, base + "2c", bn + "2c", 1, "VALID", relu=False)
+            r_branch = rev_unit(r_branch, base + "2b", bn + "2b", 1, "SAME")
+            r_branch = rev_unit(r_branch, base + "2a", bn + "2a", s, "VALID")
+            if bi == 0:
+                r_short = rev_unit(r_short, base + "1", bn + "1", s, "VALID", relu=False)
+            r = r_branch + r_short
+    r = _lrp_maxpool_3x3s2(r, cache["_stem_pool_in"])
+    r = relu_rescale(r, cache["conv1"]["bn"], cache_ref["conv1"]["bn"])
+    r = bn_gradient(r, "bn_conv1")
+    r = conv_linear(r, "conv1", 2, "VALID")
+    return r[:, 3:-3, 3:-3, :]
+
+
+def resnet_deep_taylor_wordbatched(params, image, relevance_seeds,
+                                   depth: str = "resnet50"):
+    """Per-word DeepTaylor sharing one forward: image (1, H, W, 3),
+    seeds (W, H/32, W/32, 2048) -> (W, H, W, 3). The seed is clamped
+    through a relu first (the reference's positive-output preparation,
+    deeptaylor.py:144-153)."""
+    _, cache = _forward_cached(params, image, depth)
+
+    def one(seed):
+        return _backward_deep_taylor(params, cache, jax.nn.relu(seed)[None], depth)[0]
+
+    return jax.vmap(one)(relevance_seeds)
+
+
+def resnet_deeplift_wordbatched(params, image, relevance_seeds,
+                                depth: str = "resnet50", reference_inputs=0.0,
+                                approximate_gradient: bool = True):
+    """Per-word DeepLIFT sharing one actual + one reference forward
+    (``reference_inputs`` scalar or image, default 0 — deeplift.py:123)."""
+    ref = jnp.broadcast_to(jnp.asarray(reference_inputs, image.dtype), image.shape)
+    _, cache = _forward_cached(params, image, depth)
+    _, cache_ref = _forward_cached(params, ref, depth)
+
+    def one(seed):
+        return _backward_deeplift(params, cache, cache_ref, seed[None], depth,
+                                  approximate_gradient)[0]
+
+    return jax.vmap(one)(relevance_seeds)
+
+
 def resnet_lrp_preset_a(params, image, relevance_seed, depth: str = "resnet50"):
     """PresetA-style LRP from the final conv5 relu back to the input image.
 

@@ -112,3 +112,34 @@ def test_inception_lrp_via_engine(rng):
     result = ex.analyze(img, tokens_1based=np.array([5, 2, 0], np.int32))
     assert result.relevance_maps.shape == (1, 299, 299, 3)
     assert np.isfinite(result.relevance_maps).all()
+
+
+def test_inception_deep_taylor_and_deeplift_via_engine(rng):
+    """Relevance-family dispatch on the inception encoder; DeepTaylor maps
+    are nonnegative (relu-clamped seed, WSquare/mask/WTA walk)."""
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, 13)}
+
+    cfg = FlickrConfig(
+        img_encoder="inception_v3", layer_name="mixed10",
+        img_feature_length=64, img_feature_dim=2048,
+        embedding_dim=16, hidden_dim=16, sentence_length=3, drop_rate=0.0,
+    )
+    cap = build_captioner("adaptiveattention", cfg, 12)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.normal(size=(299, 299, 3)).astype(np.float32))
+    toks = np.array([5, 2, 0], np.int32)
+    for method in ("deep_taylor", "deep_lift"):
+        ex = Explainer(cap, params, PP(), method=method, beam_size=2)
+        result = ex.analyze(img, tokens_1based=toks)
+        assert result.relevance_maps.shape == (1, 299, 299, 3)
+        assert np.isfinite(result.relevance_maps).all()
+        assert np.abs(result.relevance_maps).sum() > 0
+        if method == "deep_taylor":
+            assert result.relevance_maps.min() >= 0.0

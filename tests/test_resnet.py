@@ -101,6 +101,53 @@ def test_resnet_augmentation_methods(rng):
         r_sg.relevance_maps, r_g.relevance_maps, rtol=1e-3, atol=1e-5)
 
 
+def test_resnet_deep_taylor_and_deeplift(rng):
+    """Engine dispatch of the relevance-family methods on a resnet encoder.
+    DeepTaylor maps must be nonnegative (relu-clamped seed through WSquare /
+    masks / WTA only ever redistributes nonnegative relevance)."""
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+
+    cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
+    toks = np.array([5, 7, 2, 0, 0], np.int32)
+    for method in ("deep_taylor", "deep_lift"):
+        ex = Explainer(cap, params, PP(), method=method, beam_size=2)
+        r = ex.analyze(image, tokens_1based=toks)
+        assert r.relevance_maps.shape == (2, 64, 64, 3)
+        assert np.isfinite(r.relevance_maps).all()
+        assert np.abs(r.relevance_maps).sum() > 0
+        if method == "deep_taylor":
+            assert r.relevance_maps.min() >= 0.0
+
+
+def test_resnet_deeplift_at_own_reference_equals_gradient(rng):
+    """With reference_inputs = the image itself every Δ is zero, so the
+    approximate-gradient fallbacks fire everywhere and the DeepLIFT walk
+    degenerates to the plain VJP of the encoder."""
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import resnet_deeplift_wordbatched
+    from lrp_imagecaptioning_tpu.models.resnet import resnet50_apply
+
+    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    image = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    seeds = jnp.asarray(rng.normal(size=(2, 2, 2, 2048)).astype(np.float32))
+
+    dl = resnet_deeplift_wordbatched(params, image, seeds, reference_inputs=image)
+
+    _, vjp = jax.vjp(lambda im: resnet50_apply(params, im), image)
+    grad = jnp.stack([vjp(s[None])[0][0] for s in seeds])
+    # the walks compile/fuse differently from the VJP chain, so allow
+    # accumulation-order noise (maps reach O(100); observed diffs < 5e-4)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(grad), rtol=1e-3, atol=2e-3)
+
+
 def test_resnet_h5_roundtrip(tmp_path):
     """Write params in a Keras-like H5 layout, re-import, compare."""
     h5py = pytest.importorskip("h5py")
