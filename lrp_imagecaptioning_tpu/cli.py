@@ -299,7 +299,7 @@ def main(argv=None):
     p.add_argument("--entities-json", required=True,
                    help="COCOvalEntities.json / Flickr30kEntities.json")
     p.add_argument("--method", default="lrp",
-                   choices=["lrp", "gradient", "input_times_gradient", "guided_gradcam"])
+                   choices=list(_METHOD_CHOICES))
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--positive", action="store_true",
                    help="score positive evidence (reference default negates)")
