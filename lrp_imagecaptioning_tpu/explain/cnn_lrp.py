@@ -142,6 +142,51 @@ def vgg_lrp_preset_b_flat(params, image, relevance_seed, arch="vgg16", until="bl
     return r
 
 
+def vgg_lrp_preset_a_imgword_batched(params, images, relevance_seeds,
+                                     arch="vgg16", until="block5_conv3",
+                                     compute_dtype=None, storage_dtype=None):
+    """PresetA backward batched over images AND words in one program.
+
+    images: (B, H, W, 3); relevance_seeds: (B, Wd, h, w, C) -> (B, Wd, H, W, 3).
+
+    Same semantics as vmapping :func:`vgg_lrp_preset_a_wordbatched` over the
+    image axis, but the nested vmap flattens the transposed convs to batch
+    B*Wd while the word-independent z+ convs stay at batch B (vmap only
+    batches ops whose operands carry the mapped axis).
+
+    MEASURED on v5e at bench shapes (56 images x 20 words, bf16 storage):
+    the flattened form is SLOWER than a lax.map of the per-image function —
+    536 ms (map, conv batch 20) vs 798-856 ms (chunks of 2/4/8/14 images,
+    conv batch 40-280). The MXU-underutilization hypothesis is falsified:
+    the stage is HBM-bound, and flattening makes XLA re-broadcast the
+    per-image x / z tensors across the word axis instead of keeping them
+    resident per map step. The benchmark pipeline therefore keeps
+    lax.map + vgg_lrp_preset_a_wordbatched; this function stays as
+    parity-tested infrastructure (ulp-exact vs the per-image path) and as
+    the record of the measurement.
+    """
+    if storage_dtype is not None:
+        params = jax.tree.map(lambda a: a.astype(storage_dtype), params)
+        images = images.astype(storage_dtype)
+        relevance_seeds = relevance_seeds.astype(storage_dtype)
+        compute_dtype = None
+    _, inputs = vgg_apply_with_acts(params, images, arch, until)
+
+    rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(
+        r, x, k, b, alpha=1.0, beta=0.0, compute_dtype=compute_dtype, input_nonneg=nn
+    )
+
+    def per_img(inputs_i, seeds_i):
+        def one(seed):
+            return _vgg_lrp_backward(params, [x[None] for x in inputs_i],
+                                     seed[None], arch, until, rule)[0]
+
+        return jax.vmap(one)(seeds_i)
+
+    out = jax.vmap(per_img)(inputs, relevance_seeds)
+    return out.astype(jnp.float32) if storage_dtype is not None else out
+
+
 def _upsample_window(w: jnp.ndarray, window: int = 2) -> jnp.ndarray:
     """Nearest-neighbour window upsample (B, H, W, C) -> (B, H*k, W*k, C)."""
     B, H, Wd, C = w.shape

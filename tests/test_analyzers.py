@@ -191,3 +191,25 @@ def test_preset_a_wordbatched_fused_matches_direct(rng):
         fused = vgg_lrp_preset_a_wordbatched_fused(params, image, seeds, "vgg16", until)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(direct),
                                    rtol=2e-4, atol=1e-6, err_msg=until)
+
+
+def test_preset_a_imgword_batched_matches_per_image(rng):
+    """The image+word-batched backward matches mapping the per-image
+    word-batched function to the ulp (f32 and bf16-storage paths)."""
+    from lrp_imagecaptioning_tpu.explain.cnn_lrp import (
+        vgg_lrp_preset_a_imgword_batched,
+        vgg_lrp_preset_a_wordbatched,
+    )
+
+    params = init_vgg_params(jax.random.PRNGKey(0), "vgg16", "block5_conv3")
+    B, W = 2, 3
+    imgs = jnp.asarray(rng.normal(size=(B, 32, 32, 3)).astype(np.float32))
+    seeds = jnp.asarray(rng.normal(size=(B, W, 2, 2, 512)).astype(np.float32))
+    for kw in ({}, {"storage_dtype": jnp.bfloat16}):
+        ref = jnp.stack([
+            vgg_lrp_preset_a_wordbatched(params, imgs[b][None], seeds[b], **kw)
+            for b in range(B)
+        ])
+        new = vgg_lrp_preset_a_imgword_batched(params, imgs, seeds, **kw)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new),
+                                   rtol=1e-6, atol=1e-9)
