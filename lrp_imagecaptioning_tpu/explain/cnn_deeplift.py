@@ -34,11 +34,12 @@ import jax.numpy as jnp
 
 from ..models.vgg import vgg_apply_with_acts, vgg_layers
 from ..ops.lrp_conv import conv2d, lrp_maxpool_wta
-from ..ops.lrp_core import safe_divide
+from ..ops.lrp_core import EPS_KERAS, safe_divide
 
 # K.epsilon() — the Keras fuzz factor used by the reference's switch and
-# SafeDivide (deeplift.py:49, ilayers.SafeDivide default).
-_K_EPSILON = 1e-7
+# SafeDivide (deeplift.py:49, ilayers.SafeDivide default); one constant
+# shared with every other rule (ops.lrp_core.EPS_KERAS).
+_K_EPSILON = EPS_KERAS
 
 
 def _deeplift_backward(params, relevance_seed, ops, inputs, inputs_ref,

@@ -109,10 +109,14 @@ class Explainer:
         self.method = method
         self._beam_size = beam_size
         self._max_len = max_len or captioner.cfg.sentence_length
-        # knobs for the augmentation-based analyzers (wrapper.py semantics)
+        # knobs for the augmentation-based analyzers (wrapper.py semantics).
+        # SmoothGrad noise is in absolute input units (GaussianSmoother adds
+        # noise_scale-std Gaussians): 16.0 ~= 6% of the ~255-range caffe
+        # inputs (vgg/resnet); inception inputs span [-1, 1], so the same
+        # fraction is 0.125.
         self._ig_steps = 16
         self._sg_samples = 8
-        self._sg_noise = 16.0
+        self._sg_noise = 0.125 if captioner.cfg.img_encoder == "inception_v3" else 16.0
         self._noise_seed = 0
         self._storage_dtype = storage_dtype
         self._decode = jax.jit(self._decode_impl)

@@ -71,56 +71,37 @@ def _forward_cached(params, image, until="mixed10"):
 
 
 def _backward(params, cache, relevance_seed, until="mixed10"):
-    """Accumulate relevance per named tensor, walking _SPEC in reverse."""
-    rel = {until: relevance_seed}
-    seen_until = False
-    for op in reversed(_SPEC):
-        name = op[1]
-        if not seen_until:
-            if name != until:
-                continue
-            seen_until = True
-        r = rel.pop(name, None)
-        if r is None:
-            continue
-        if op[0] == "conv":
-            c = cache[name]
-            pn = params[name]
-            r = lrp_bn(r, c["z"], c["bn"], pn["bn_mean"], pn["bn_beta"])
-            _, _, src, f, (kh, kw), s, p = op
-            # inputs are post-relu except the image itself
-            rin = lrp_conv_alpha_beta(
-                r, c["in"], pn["kernel"], None, alpha=1.0, beta=0.0,
-                stride=s, padding=p, input_nonneg=(c["src"] != "input"),
-            )
-            rel[c["src"]] = rel.get(c["src"], 0.0) + rin
-        elif op[0] == "pool":
-            c = cache[name]
-            x = c["in"]
-            if c["kind"] == "max":
-                if c["p"] == "VALID":
-                    from ..ops.lrp_conv import lrp_maxpool_overlapping_wta
+    """PresetA relevance walk: BN reverse rule then alpha1beta0 per conv,
+    WTA / z-rule per pool (shared skeleton: :func:`_walk_backward`)."""
 
-                    rin = lrp_maxpool_overlapping_wta(r, x, c["w"], c["s"])
-                else:
-                    _, vjp = jax.vjp(lambda t: _pool(t, "max", c["w"], c["s"], c["p"]), x)
-                    (rin,) = vjp(r)
-            else:
-                # AveragePoolingReverseLayer: z-rule through the linear pool
-                z = _pool(x, "avg", c["w"], c["s"], c["p"])
-                s_t = safe_divide(r, _sign_stab(z, EPS_KERAS), EPS_KERAS)
-                _, vjp = jax.vjp(lambda t: _pool(t, "avg", c["w"], c["s"], c["p"]), x)
-                (g,) = vjp(s_t)
-                rin = x * g
-            rel[c["src"]] = rel.get(c["src"], 0.0) + rin
-        else:  # concat: split by channel slices
-            srcs = cache[name]["srcs"]
-            off = 0
-            for s_name in srcs:
-                ch = _CHANNELS[s_name]
-                rel[s_name] = rel.get(s_name, 0.0) + r[..., off : off + ch]
-                off += ch
-    return rel["input"]
+    def conv_rev(r, op):
+        _, name, src, f, (kh, kw), s, p = op
+        c = cache[name]
+        pn = params[name]
+        r = lrp_bn(r, c["z"], c["bn"], pn["bn_mean"], pn["bn_beta"])
+        # inputs are post-relu except the image itself
+        return lrp_conv_alpha_beta(
+            r, c["in"], pn["kernel"], None, alpha=1.0, beta=0.0,
+            stride=s, padding=p, input_nonneg=(src != "input"),
+        )
+
+    def pool_rev(r, op):
+        c = cache[op[1]]
+        x = c["in"]
+        if c["kind"] == "max":
+            if c["p"] == "VALID":
+                from ..ops.lrp_conv import lrp_maxpool_overlapping_wta
+
+                return lrp_maxpool_overlapping_wta(r, x, c["w"], c["s"])
+            _, vjp = jax.vjp(lambda t: _pool(t, "max", c["w"], c["s"], c["p"]), x)
+            return vjp(r)[0]
+        # AveragePoolingReverseLayer: z-rule through the linear pool
+        z = _pool(x, "avg", c["w"], c["s"], c["p"])
+        s_t = safe_divide(r, _sign_stab(z, EPS_KERAS), EPS_KERAS)
+        _, vjp = jax.vjp(lambda t: _pool(t, "avg", c["w"], c["s"], c["p"]), x)
+        return x * vjp(s_t)[0]
+
+    return _walk_backward(relevance_seed, until, conv_rev, pool_rev)
 
 
 def _walk_backward(relevance_seed, until, conv_rev, pool_rev):
@@ -193,10 +174,6 @@ def inception_deep_taylor_wordbatched(params, image, relevance_seeds,
     return jax.vmap(one)(relevance_seeds)
 
 
-# K.epsilon() — the fuzz factor of the reference's DeepLIFT switch/SafeDivide
-_K_EPSILON = 1e-7
-
-
 def inception_deeplift_wordbatched(params, image, relevance_seeds,
                                    until: str = "mixed10", reference_inputs=0.0,
                                    approximate_gradient: bool = True):
@@ -205,7 +182,7 @@ def inception_deeplift_wordbatched(params, image, relevance_seeds,
     Activations, default gradient on BN / pools / Concatenate. One actual and
     one reference forward shared across all word seeds."""
     from ..models.inception import BN_EPS
-    from ..ops.lrp_conv import conv2d_input_vjp
+    from ..ops.lrp_conv import deeplift_conv_linear, deeplift_relu_rescale
 
     ref = jnp.broadcast_to(jnp.asarray(reference_inputs, image.dtype), image.shape)
     _, cache = _forward_cached(params, image, until)
@@ -217,25 +194,12 @@ def inception_deeplift_wordbatched(params, image, relevance_seeds,
         c, cr = cache[name], cache_ref[name]
         pn = params[name]
         # relu Activation: RescaleRule (deeplift.py:44-73)
-        dxa = c["bn"] - cr["bn"]
-        dya = jax.nn.relu(c["bn"]) - jax.nn.relu(cr["bn"])
-        if approximate_gradient:
-            resc = r * dya / jnp.where(jnp.abs(dxa) < _K_EPSILON, 1.0, dxa)
-            grad = jnp.where(c["bn"] > 0, r, 0.0)
-            r = jnp.where(jnp.abs(dxa) < _K_EPSILON, grad, resc)
-        else:
-            r = r * dya / (dxa + _K_EPSILON)
+        r = deeplift_relu_rescale(r, c["bn"], cr["bn"], approximate_gradient)
         # BN: default gradient mapping (pure scale in inference mode)
         r = r * (pn["bn_gamma"] * jax.lax.rsqrt(pn["bn_var"] + BN_EPS))
         # conv: LinearRule (deeplift.py:77-116)
-        dx = c["in"] - cr["in"]
-        dz = c["z"] - cr["z"]
-        s_t = safe_divide(r, dz, _K_EPSILON)
-        contrib = dx * conv2d_input_vjp(c["in"].shape, pn["kernel"], s_t, s, p)
-        if not approximate_gradient:
-            return contrib
-        grad = conv2d_input_vjp(c["in"].shape, pn["kernel"], r, s, p)
-        return jnp.where(jnp.abs(dx) < _K_EPSILON, grad, contrib)
+        return deeplift_conv_linear(r, c["in"], cr["in"], c["z"], cr["z"],
+                                    pn["kernel"], s, p, approximate_gradient)
 
     def one(seed):
         return _walk_backward(seed[None], until, conv_rev, pool_rev)[0]

@@ -173,10 +173,6 @@ def _backward_deep_taylor(params, cache, relevance_seed, depth):
     return r[:, 3:-3, 3:-3, :]
 
 
-# K.epsilon() — the fuzz factor of the reference's DeepLIFT switch/SafeDivide
-_K_EPSILON = 1e-7
-
-
 def _backward_deeplift(params, cache, cache_ref, relevance_seed, depth,
                        approximate=True):
     """DeepLIFT-rescale walk (reference: deeplift.py:120-197) on resnet.
@@ -188,28 +184,16 @@ def _backward_deeplift(params, cache, cache_ref, relevance_seed, depth,
     Add, max-pool and the stem pad have neither kernel nor activation and
     reverse via the default gradient mapping.
     """
-    from ..ops.lrp_conv import conv2d_input_vjp
+    from ..ops.lrp_conv import deeplift_conv_linear, deeplift_relu_rescale
 
     def conv_linear(r, name, stride, padding):
         c, cr = cache[name], cache_ref[name]
-        dx = c["in"] - cr["in"]
-        dz = c["z"] - cr["z"]
-        k = params[name]["kernel"]
-        s_t = safe_divide(r, dz, _K_EPSILON)
-        contrib = dx * conv2d_input_vjp(c["in"].shape, k, s_t, stride, padding)
-        if not approximate:
-            return contrib
-        grad = conv2d_input_vjp(c["in"].shape, k, r, stride, padding)
-        return jnp.where(jnp.abs(dx) < _K_EPSILON, grad, contrib)
+        return deeplift_conv_linear(r, c["in"], cr["in"], c["z"], cr["z"],
+                                    params[name]["kernel"], stride, padding,
+                                    approximate)
 
     def relu_rescale(r, x, x_ref):
-        dx = x - x_ref
-        dy = jax.nn.relu(x) - jax.nn.relu(x_ref)
-        if not approximate:
-            return r * dy / (dx + _K_EPSILON)
-        resc = r * dy / jnp.where(jnp.abs(dx) < _K_EPSILON, 1.0, dx)
-        grad = jnp.where(x > 0, r, 0.0)
-        return jnp.where(jnp.abs(dx) < _K_EPSILON, grad, resc)
+        return deeplift_relu_rescale(r, x, x_ref, approximate)
 
     def bn_gradient(r, bn_name):
         p = params[bn_name]

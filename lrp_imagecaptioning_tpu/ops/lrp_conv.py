@@ -197,6 +197,42 @@ def lrp_conv_bounded(r: jnp.ndarray, x: jnp.ndarray, kernel: jnp.ndarray,
     return x * c - lo * cp - hi * cn
 
 
+def deeplift_conv_linear(r: jnp.ndarray, x: jnp.ndarray, x_ref: jnp.ndarray,
+                         z: jnp.ndarray, z_ref: jnp.ndarray, kernel: jnp.ndarray,
+                         stride: int = 1, padding: str = "SAME",
+                         approximate: bool = True, factor: float = EPS_KERAS) -> jnp.ndarray:
+    """DeepLIFT LinearRule for a bias-free conv (deeplift.py:77-116):
+    divide incoming relevance by the output delta (SafeDivide), backprop
+    through the conv VJP, re-weight by the input delta; where |dx| < eps
+    fall back to the plain gradient (``approximate`` = the reference's
+    approximate_gradient=True default)."""
+    dx = x - x_ref
+    dz = z - z_ref
+    s = safe_divide(r, dz, factor)
+    contrib = dx * conv2d_input_vjp(x.shape, kernel, s, stride, padding)
+    if not approximate:
+        return contrib
+    grad = conv2d_input_vjp(x.shape, kernel, r, stride, padding)
+    return jnp.where(jnp.abs(dx) < factor, grad, contrib)
+
+
+def deeplift_relu_rescale(r: jnp.ndarray, x: jnp.ndarray, x_ref: jnp.ndarray,
+                          approximate: bool = True, factor: float = EPS_KERAS) -> jnp.ndarray:
+    """DeepLIFT RescaleRule for a standalone relu Activation layer
+    (deeplift.py:44-73): relevance scales by dy/dx, falling back to the
+    relu gradient where |dx| < eps. The non-approximate branch reproduces
+    the reference's unstabilized ``a*(dy/(dx+eps))`` verbatim (deeplift.py:
+    50-52) — including its blow-up when dx ~= -eps; that is the reference's
+    behavior, not a deviation."""
+    dx = x - x_ref
+    dy = jax.nn.relu(x) - jax.nn.relu(x_ref)
+    if not approximate:
+        return r * dy / (dx + factor)
+    resc = r * dy / jnp.where(jnp.abs(dx) < factor, 1.0, dx)
+    grad = jnp.where(x > 0, r, 0.0)
+    return jnp.where(jnp.abs(dx) < factor, grad, resc)
+
+
 def maxpool2d(x: jnp.ndarray, window: int = 2, stride: int = 2) -> jnp.ndarray:
     """Max pool, NHWC.
 

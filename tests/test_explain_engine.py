@@ -131,3 +131,19 @@ def test_explainer_bf16_storage_close_to_f32(rng):
     assert bf.relevance_maps.dtype == np.float32
     scale = np.abs(f32.relevance_maps).max()
     assert np.abs(bf.relevance_maps - f32.relevance_maps).max() / scale < 0.05
+
+
+def test_smoothgrad_noise_default_scales_with_encoder():
+    """SmoothGrad noise is absolute: ~6% of the caffe ~255 input range for
+    vgg/resnet (16.0) but 0.125 for inception's [-1, 1] inputs."""
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+
+    cap_vgg = build_captioner("adaptiveattention", CFG, VOCAB)
+    assert Explainer(cap_vgg, None, FakePP(), method="smoothgrad")._sg_noise == 16.0
+    icfg = FlickrConfig(
+        img_encoder="inception_v3", layer_name="mixed10",
+        img_feature_length=64, img_feature_dim=2048,
+        embedding_dim=16, hidden_dim=16, sentence_length=3, drop_rate=0.0,
+    )
+    cap_inc = build_captioner("adaptiveattention", icfg, VOCAB)
+    assert Explainer(cap_inc, None, FakePP(), method="smoothgrad")._sg_noise == 0.125

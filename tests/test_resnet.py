@@ -234,3 +234,19 @@ def test_resnet_lrp_via_engine(rng):
     result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
     assert result.relevance_maps.shape == (2, 64, 64, 3)
     assert np.isfinite(result.relevance_maps).all()
+
+
+def test_resnet_deeplift_linear_in_seed(rng):
+    """Every DeepLIFT rule (Linear, Rescale, gradient) is linear in the
+    incoming relevance, so the whole walk must be too."""
+    from lrp_imagecaptioning_tpu.explain.resnet_lrp import resnet_deeplift_wordbatched
+
+    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    image = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    s1, s2 = (jnp.asarray(rng.normal(size=(1, 2, 2, 2048)).astype(np.float32))
+              for _ in range(2))
+    f = lambda s: np.asarray(resnet_deeplift_wordbatched(params, image, s))
+    combo = f(2.0 * s1 - 3.0 * s2)
+    parts = 2.0 * f(s1) - 3.0 * f(s2)
+    scale = np.abs(parts).max()
+    np.testing.assert_allclose(combo, parts, rtol=1e-3, atol=2e-3 * scale)
