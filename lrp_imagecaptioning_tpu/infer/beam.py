@@ -23,6 +23,32 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _top_k(x, k):
+    """Exact top-k (values, indices) with lax.top_k's lowest-index
+    tie-breaking, unrolled as k argmax+mask passes for small k.
+
+    On TPU ``lax.top_k`` lowers to sort-based code; at bench shapes
+    (B=56, beam 3, V=7003) the two per-step top-k calls made the beam scan
+    top_k-bound — swapping in this unrolled form drops the whole scan
+    92.5 -> 27.5 ms/batch with token-identical output. Masked winners are
+    set to -inf (strictly below any real candidate, including dead beams
+    saturated at NEG_INF) so no index can be selected twice. Falls back to
+    lax.top_k for larger k where k full passes would exceed the sort cost.
+    """
+    if k > 8:
+        return jax.lax.top_k(x, k)
+    vals, idxs = [], []
+    cur = x
+    ar = jnp.arange(x.shape[-1])
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], -1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        cur = jnp.where(ar == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 def beam_search(
     captioner,
     params,
@@ -65,7 +91,7 @@ def beam_search(
         V = logp.shape[-1]
         cand = scores[:, :, None] + logp                     # (B, K, V)
         flat = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, K)         # (B, K)
+        top_scores, top_idx = _top_k(flat, K)                # (B, K)
         parent = top_idx // V                                # (B, K)
         word0 = top_idx % V                                  # model space
 
@@ -73,7 +99,7 @@ def beam_search(
         # only sees EOS when it is among a beam's top-K words
         # (inference.py:204-229); replicate with a per-beam threshold. The
         # complete sentence is the PARENT's sequence + EOS, at candidate score.
-        kth = jax.lax.top_k(logp, K)[0][:, :, K - 1]         # (B, K) per-beam k-th best
+        kth = _top_k(logp, K)[0][:, :, K - 1]                # (B, K) per-beam k-th best
         in_topk = logp[:, :, eos0] >= kth
         eos_cand = jnp.where(in_topk, cand[:, :, eos0], NEG_INF)  # (B, K)
         best_k = jnp.argmax(eos_cand, axis=1)

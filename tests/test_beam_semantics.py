@@ -123,3 +123,28 @@ def test_beam_matches_python_reference_wide_widths(beam_size, rng):
     got = [int(t) for t in np.asarray(tokens)[0] if t != 0]
     assert got == exp_tokens, f"beam {beam_size}: {got} != {exp_tokens}"
     np.testing.assert_allclose(float(score[0]), exp_score, rtol=1e-3)
+
+
+def test_topk_small_matches_lax_topk():
+    """The unrolled argmax top-k must match lax.top_k exactly, including
+    lowest-index tie-breaking and rows saturated at NEG_INF."""
+    import jax
+    import jax.numpy as jnp
+
+    from lrp_imagecaptioning_tpu.infer.beam import NEG_INF, _top_k
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(5, 97)).astype(np.float32))
+    # inject ties and NEG_INF saturation
+    x = x.at[1, 10].set(x[1, 50])
+    x = x.at[2].set(NEG_INF)
+    x = x.at[3, ::7].set(3.25)
+    for k in (1, 3, 5):
+        v_ref, i_ref = jax.lax.top_k(x, k)
+        v_new, i_new = _top_k(x, k)
+        np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_new))
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_new))
+    # large-k fallback path
+    v_ref, i_ref = jax.lax.top_k(x, 16)
+    v_new, i_new = _top_k(x, 16)
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_new))
