@@ -66,7 +66,8 @@ def cmd_train(args):
         from .parallel import make_mesh
 
         mesh = make_mesh(args.num_devices)
-    t = Trainer(args.model_type, cfg, dataset, label=args.label, mesh=mesh)
+    t = Trainer(args.model_type, cfg, dataset, label=args.label, mesh=mesh,
+                steps_per_call=args.steps_per_call)
     if args.weights:
         t.load_weights(args.weights)
     if args.resume:
@@ -266,6 +267,9 @@ def main(argv=None):
     p.add_argument("--time-limit", default=None, help="e.g. '12 hours'")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--num-devices", type=int, default=None, help="data-parallel mesh size")
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="optimizer steps per device dispatch (lax.scan over "
+                        "stacked batches; amortizes dispatch latency)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("finetune-lrp", help="LRP-inference finetuning (train.py:519-673)")

@@ -37,6 +37,46 @@ def make_train_step(captioner, optimizer, donate: bool = True):
     return jax.jit(train_step, **kw)
 
 
+def make_multi_train_step(captioner, optimizer, donate: bool = True):
+    """K optimizer steps in ONE dispatch: a ``lax.scan`` over K stacked batches.
+
+    -> jitted fn (params, opt_state, images (K,B,H,W,3), captions_in (K,B,T),
+    y_onehot (K,B,T,V), rngs (K,) key array) -> (params, opt_state, metrics
+    dict with (K,)-stacked values). Semantically identical to K chained
+    single steps.
+
+    Motivation (measured on v5e behind an ~85 ms host<->device relay): chained
+    single-step dispatches cannot pipeline — each dependent step pays the
+    full host round trip, 717 ms/step for a 47 ms program (donate=True:
+    1368 ms). Scanning K batches amortizes the dispatch to one round trip
+    per K steps. On directly-attached TPUs single steps enqueue
+    asynchronously and the difference shrinks to the dispatch overhead.
+    """
+    loss_fn = captioner.loss_fn()
+
+    def one(carry, batch):
+        params, opt_state = carry
+        images, captions_in, y_onehot, rng = batch
+
+        def loss(p):
+            logits = captioner.forward_train(p, images, captions_in, rng)
+            return loss_fn(logits, y_onehot), logits
+
+        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+
+    def multi_step(params, opt_state, images, captions_in, y_onehot, rngs):
+        (params, opt_state), metrics = jax.lax.scan(
+            one, (params, opt_state), (images, captions_in, y_onehot, rngs)
+        )
+        return params, opt_state, metrics
+
+    kw = {"donate_argnums": (0, 1)} if donate else {}
+    return jax.jit(multi_step, **kw)
+
+
 def make_eval_step(captioner):
     loss_fn = captioner.loss_fn()
 

@@ -28,7 +28,12 @@ from ..models.captioner import build_captioner
 from .callbacks import CSVLog, ReduceLROnPlateau, StopAfterTimedelta, StopWhenValLossExploding
 from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .optimizer import get_learning_rate, make_optimizer, set_learning_rate
-from .step import make_eval_step, make_sharded_train_step, make_train_step
+from .step import (
+    make_eval_step,
+    make_multi_train_step,
+    make_sharded_train_step,
+    make_train_step,
+)
 
 
 def parse_timedelta(s: Optional[str]) -> Optional[timedelta]:
@@ -46,7 +51,7 @@ class Trainer:
 
     def __init__(self, model_type: str, config, dataset, label: str = "run",
                  mesh=None, seed: int = 0, eval_metrics: bool = True,
-                 multihost: bool = False):
+                 multihost: bool = False, steps_per_call: int = 1):
         self.model_type = model_type
         self.config = config
         self.dataset = dataset
@@ -78,12 +83,23 @@ class Trainer:
         self.opt_state = self.optimizer.init(self.params)
 
         if mesh is not None:
+            if steps_per_call != 1:
+                raise ValueError("steps_per_call > 1 is not supported with a mesh yet")
             self._train_step, place = make_sharded_train_step(
                 self.captioner, self.optimizer, mesh, params_template=self.params
             )
             self.params, self.opt_state = place(self.params, self.opt_state)
         else:
             self._train_step = make_train_step(self.captioner, self.optimizer)
+        # steps_per_call > 1: scan K batches per dispatch — amortizes the
+        # host->device dispatch round trip, which dominates chained single
+        # steps on relay-attached TPUs (make_multi_train_step docstring has
+        # the measurements). Ragged epoch tails fall back to single steps.
+        self._steps_per_call = max(int(steps_per_call), 1)
+        self._multi_step = (
+            make_multi_train_step(self.captioner, self.optimizer)
+            if self._steps_per_call > 1 else None
+        )
         self._eval_step = make_eval_step(self.captioner)
 
         self.result_dir = os.path.join(
@@ -122,8 +138,31 @@ class Trainer:
     # -- loop --------------------------------------------------------------
 
     def _epoch(self, generator, steps: int, training: bool):
-        tot = {"loss": 0.0, "accuracy": 0.0}
-        for _ in range(steps):
+        # metrics stay device-side until the epoch ends — a float() per step
+        # would force a host sync per step
+        acc = {"loss": [], "accuracy": []}
+
+        def record(m):
+            for k in acc:
+                acc[k].append(jnp.sum(m[k]))
+
+        K = self._steps_per_call if (training and self._multi_step is not None) else 1
+        done = 0
+        while done < steps:
+            k = min(K, steps - done)
+            if k == K and K > 1:
+                batches = [next(generator) for _ in range(K)]
+                imgs = self._place(np.stack([b[0][1] for b in batches]))
+                cap_in = self._place(np.stack([b[0][0] for b in batches]))
+                y = self._place(np.stack([b[1] for b in batches]))
+                self._rng, sub = jax.random.split(self._rng)
+                subs = jax.random.split(sub, K)
+                self.params, self.opt_state, m = self._multi_step(
+                    self.params, self.opt_state, imgs, cap_in, y, subs
+                )
+                record(m)
+                done += K
+                continue
             (cap_in, imgs), y = next(generator)
             imgs = self._place(imgs)
             cap_in = self._place(cap_in)
@@ -135,9 +174,10 @@ class Trainer:
                 )
             else:
                 m = self._eval_step(self.params, imgs, cap_in, y)
-            for k in tot:
-                tot[k] += float(m[k])
-        return {k: v / max(steps, 1) for k, v in tot.items()}
+            record(m)
+            done += 1
+        return {k: float(np.sum([np.asarray(v) for v in vs])) / max(steps, 1)
+                for k, vs in acc.items()}
 
     def run(self, epochs: Optional[int] = None, time_limit: Optional[str] = None,
             steps_per_epoch: Optional[int] = None, log_prefix: str = "") -> list[dict]:

@@ -217,3 +217,59 @@ def test_lrp_finetune_quantile_mode(rng):
     images, caps, y = _batch(rng, B=2, T=5)
     _, _, m = step(params, opt_state, images, caps, y, jax.random.PRNGKey(3))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_multi_train_step_matches_chained_single_steps(rng):
+    """K scanned steps == K chained single steps (same params/opt trajectory
+    and per-step metrics)."""
+    from lrp_imagecaptioning_tpu.train.step import make_multi_train_step
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-3)
+    opt_state = opt.init(params)
+    K = 3
+    batches = [_batch(rng) for _ in range(K)]
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+
+    step = make_train_step(cap, opt, donate=False)
+    p, o = params, opt_state
+    single_losses = []
+    for i in range(K):
+        images, caps, y = batches[i]
+        p, o, m = step(p, o, images, caps, y, keys[i])
+        single_losses.append(float(m["loss"]))
+
+    multi = make_multi_train_step(cap, opt, donate=False)
+    imgs = jnp.stack([b[0] for b in batches])
+    capsk = jnp.stack([b[1] for b in batches])
+    yk = jnp.stack([b[2] for b in batches])
+    pm, om, mm = multi(params, opt_state, imgs, capsk, yk, keys)
+
+    np.testing.assert_allclose(np.asarray(mm["loss"]), single_losses, rtol=1e-5)
+    # the scanned and unscanned programs fuse differently -> ulp-level noise
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        p, pm,
+    )
+
+
+def test_trainer_steps_per_call(tmp_path, monkeypatch):
+    """Trainer._epoch with steps_per_call > 1 consumes batches through the
+    scanned multi-step, including a ragged tail (3 steps at K=2), and
+    averages metrics like the single-step path."""
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.train.trainer import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    cfg = FlickrConfig(
+        embedding_dim=16, hidden_dim=16, sentence_length=5, batch_size=2,
+        drop_rate=0.0, rare_words_handling="nothing", learning_rate=1e-3,
+    )
+    ds = SyntheticDataset(cfg, n_train=10, n_val=2, n_test=2)
+    t = Trainer("adaptiveattention", cfg, ds, label="spc", eval_metrics=False,
+                steps_per_call=2)
+    gen = t.provider.training_set(pad_to_length=cfg.sentence_length + 1)
+    logs = t._epoch(gen, 3, training=True)  # one K=2 call + one single tail
+    assert np.isfinite(logs["loss"]) and np.isfinite(logs["accuracy"])
