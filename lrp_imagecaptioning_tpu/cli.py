@@ -87,7 +87,8 @@ def cmd_finetune_lrp(args):
     captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
     params = _load_params(captioner, args)
     tuner = LRPFinetuner(captioner, params, provider, mode=args.lrp_mode,
-                         learning_rate=args.learning_rate or 1e-6)
+                         learning_rate=args.learning_rate or 1e-6,
+                         steps_per_call=args.steps_per_call)
     # reference drives 50 chunks x 10 iterations (train.py:696-716)
     for save_idx in range(args.start_chunk, args.chunks):
         m = tuner.run(save_idx, args.epoch_length, result_dir=args.out or "results/lrp-finetune")
@@ -279,6 +280,9 @@ def main(argv=None):
     p.add_argument("--chunks", type=int, default=50)
     p.add_argument("--start-chunk", type=int, default=0)
     p.add_argument("--epoch-length", type=int, default=10)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="finetune steps per device dispatch (lax.scan over "
+                        "stacked batches; amortizes dispatch latency)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_finetune_lrp)
 

@@ -174,6 +174,44 @@ def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eo
     return jax.jit(step, **kw)
 
 
+def make_multi_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int,
+                                 eos_1based: int, mode: str = "mean", donate: bool = True):
+    """K finetune steps in ONE dispatch (``lax.scan`` over K stacked batches).
+
+    Same dispatch-amortization rationale as ``train/step.py::
+    make_multi_train_step``: on relay-attached TPUs chained dependent
+    dispatches pay a full host round trip per step; scanning K batches pays
+    it once per K. Semantically identical to K chained single steps.
+    -> (params, opt_state, metrics with (K,)-stacked values)."""
+    stop_t = jnp.asarray(stop_table)
+
+    def one(carry, batch):
+        params, opt_state = carry
+        images, captions_in, y_onehot, rng = batch
+        y_pred = captioner.forward_train(params, images, captions_in, None)
+        w = jax.lax.stop_gradient(
+            lrp_weights(captioner, params, images, y_pred, stop_t, sos_1based, eos_1based, mode)
+        )
+
+        def loss(p):
+            logits = captioner.forward_train(p, images, captions_in, rng)
+            return dual_loss(logits, w, y_onehot), logits
+
+        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+
+    def multi_step(params, opt_state, images, captions_in, y_onehot, rngs):
+        (params, opt_state), metrics = jax.lax.scan(
+            one, (params, opt_state), (images, captions_in, y_onehot, rngs)
+        )
+        return params, opt_state, metrics
+
+    kw = {"donate_argnums": (0, 1)} if donate else {}
+    return jax.jit(multi_step, **kw)
+
+
 def make_sharded_lrp_finetune_step(captioner, optimizer, mesh, stop_table, sos_1based: int,
                                    eos_1based: int, mode: str = "mean", donate: bool = True):
     """Data-parallel LRP-inference finetuning over a device mesh — the
@@ -216,7 +254,8 @@ class LRPFinetuner:
     loop with periodic weight saves; resumable by save_idx."""
 
     def __init__(self, captioner, params, provider, mode: str = "mean",
-                 learning_rate: float = 1e-6, seed: int = 0):
+                 learning_rate: float = 1e-6, seed: int = 0,
+                 steps_per_call: int = 1):
         from .optimizer import make_optimizer
 
         self.captioner = captioner
@@ -228,6 +267,16 @@ class LRPFinetuner:
         self._step = make_lrp_finetune_step(
             captioner, self.optimizer, stop_word_table(pp),
             pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode,
+        )
+        # steps_per_call > 1: scan K batches per dispatch (dispatch-latency
+        # amortization, see make_multi_lrp_finetune_step)
+        self._steps_per_call = max(int(steps_per_call), 1)
+        self._multi_step = (
+            make_multi_lrp_finetune_step(
+                captioner, self.optimizer, stop_word_table(pp),
+                pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode,
+            )
+            if self._steps_per_call > 1 else None
         )
         self._rng = jax.random.PRNGKey(seed)
         self._T = captioner.cfg.sentence_length + 1
@@ -242,15 +291,35 @@ class LRPFinetuner:
         gen = prefetch(self.provider.training_set(pad_to_length=self._T))
         for _ in range(save_idx * epoch_length):
             next(gen)
-        metrics = {"loss": 0.0, "accuracy": 0.0}
-        for it in range(epoch_length):
+        # metrics stay device-side until the chunk ends (no per-step sync)
+        acc = {"loss": [], "accuracy": []}
+        K = self._steps_per_call
+        done = 0
+        while done < epoch_length:
+            k = min(K, epoch_length - done)
+            if k == K and K > 1:
+                batches = [next(gen) for _ in range(K)]
+                imgs = jnp.asarray(np.stack([b[0][1] for b in batches]))
+                cap_in = jnp.asarray(np.stack([b[0][0] for b in batches]))
+                y = jnp.asarray(np.stack([b[1] for b in batches]))
+                self._rng, sub = jax.random.split(self._rng)
+                subs = jax.random.split(sub, K)
+                self.params, self.opt_state, m = self._multi_step(
+                    self.params, self.opt_state, imgs, cap_in, y, subs
+                )
+                for key in acc:
+                    acc[key].append(jnp.sum(m[key]))
+                done += K
+                continue
             (cap_in, imgs), y = next(gen)
             self._rng, sub = jax.random.split(self._rng)
             self.params, self.opt_state, m = self._step(
                 self.params, self.opt_state, jnp.asarray(imgs), jnp.asarray(cap_in), jnp.asarray(y), sub
             )
-            for k in metrics:
-                metrics[k] += float(m[k])
-        metrics = {k: v / max(epoch_length, 1) for k, v in metrics.items()}
+            for key in acc:
+                acc[key].append(jnp.sum(m[key]))
+            done += 1
+        metrics = {k: float(np.sum([np.asarray(v) for v in vs])) / max(epoch_length, 1)
+                   for k, vs in acc.items()}
         save_checkpoint(result_dir, save_idx, self.params, self.opt_state, metric=metrics["accuracy"])
         return metrics

@@ -273,3 +273,41 @@ def test_trainer_steps_per_call(tmp_path, monkeypatch):
     gen = t.provider.training_set(pad_to_length=cfg.sentence_length + 1)
     logs = t._epoch(gen, 3, training=True)  # one K=2 call + one single tail
     assert np.isfinite(logs["loss"]) and np.isfinite(logs["accuracy"])
+
+
+def test_multi_lrp_finetune_step_matches_chained(rng):
+    """K scanned LRP-finetune steps == K chained single steps."""
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import (
+        make_lrp_finetune_step,
+        make_multi_lrp_finetune_step,
+    )
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-4)
+    opt_state = opt.init(params)
+    stop_table = np.zeros((VOCAB,), np.bool_)
+    K = 2
+    batches = [_batch(rng) for _ in range(K)]
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+
+    step = make_lrp_finetune_step(cap, opt, stop_table, 1, 2, donate=False)
+    p, o = params, opt_state
+    single_losses = []
+    for i in range(K):
+        images, caps, y = batches[i]
+        p, o, m = step(p, o, images, caps, y, keys[i])
+        single_losses.append(float(m["loss"]))
+
+    multi = make_multi_lrp_finetune_step(cap, opt, stop_table, 1, 2, donate=False)
+    imgs = jnp.stack([b[0] for b in batches])
+    capsk = jnp.stack([b[1] for b in batches])
+    yk = jnp.stack([b[2] for b in batches])
+    pm, om, mm = multi(params, opt_state, imgs, capsk, yk, keys)
+
+    np.testing.assert_allclose(np.asarray(mm["loss"]), single_losses, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        p, pm,
+    )
