@@ -335,8 +335,18 @@ class Explainer:
         return tokens, scores
 
     def _explain_batch_impl(self, params, images, tokens_1based):
-        """vmapped analyze over a fixed batch: one dispatch for B images."""
-        return jax.vmap(lambda im, tk: self._explain_impl(params, im, tk))(images, tokens_1based)
+        """Batched analyze: one dispatch for B images.
+
+        ``lax.map`` (sequential per-image programs, each word-batched)
+        rather than ``vmap``: vmapping the per-image program flattens the
+        CNN backward's convs to batch B*W, which re-broadcasts the
+        per-image activations across words and measured ~1.5x SLOWER than
+        mapping at production shapes (see
+        cnn_lrp.py::vgg_lrp_preset_a_imgword_batched for the numbers)."""
+        return jax.lax.map(
+            lambda args: self._explain_impl(params, args[0], args[1]),
+            (images, tokens_1based),
+        )
 
     def analyze_batch(self, images, tokens_1based=None) -> list:
         """Batched analyze: (B, H, W, 3) images -> list[Explanation].
