@@ -30,19 +30,23 @@ def _top_k(x, k):
     On TPU ``lax.top_k`` lowers to sort-based code; at bench shapes
     (B=56, beam 3, V=7003) the two per-step top-k calls made the beam scan
     top_k-bound — swapping in this unrolled form drops the whole scan
-    92.5 -> 27.5 ms/batch with token-identical output. Masked winners are
-    set to -inf (strictly below any real candidate, including dead beams
-    saturated at NEG_INF) so no index can be selected twice. Falls back to
-    lax.top_k for larger k where k full passes would exceed the sort cost.
+    92.5 -> 27.5 ms/batch with token-identical output. Selection runs on a
+    finfo.min-clamped copy so that -inf inputs stay selectable in index
+    order while masked winners (set to -inf) are strictly below every
+    remaining candidate — no index can be selected twice even for rows
+    saturated at -inf. Returned values come from the original ``x``. Falls
+    back to lax.top_k for larger k where k full passes would exceed the
+    sort cost. (Sole corner: inputs EXACTLY equal to float32 finfo.min tie
+    with clamped -inf entries in selection order.)
     """
     if k > 8:
         return jax.lax.top_k(x, k)
     vals, idxs = [], []
-    cur = x
+    cur = jnp.maximum(x, jnp.finfo(x.dtype).min)   # -inf -> finite floor
     ar = jnp.arange(x.shape[-1])
     for _ in range(k):
         i = jnp.argmax(cur, axis=-1)
-        v = jnp.take_along_axis(cur, i[..., None], -1)[..., 0]
+        v = jnp.take_along_axis(x, i[..., None], -1)[..., 0]
         vals.append(v)
         idxs.append(i.astype(jnp.int32))
         cur = jnp.where(ar == i[..., None], -jnp.inf, cur)

@@ -148,12 +148,15 @@ def dual_loss(logits, lrp_weight, y_onehot):
     )
 
 
-def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eos_1based: int,
-                           mode: str = "mean", donate: bool = True):
-    """One jitted program: predict -> LRP weights -> dual-loss grad step."""
+def _finetune_body(captioner, optimizer, stop_table, sos_1based: int, eos_1based: int,
+                   mode: str):
+    """The ONE finetune-step body shared by the single, multi (scan) and
+    sharded factories: predict -> LRP weights -> dual-loss grad step."""
     stop_t = jnp.asarray(stop_table)
 
-    def step(params, opt_state, images, captions_in, y_onehot, rng):
+    def one(carry, batch):
+        params, opt_state = carry
+        images, captions_in, y_onehot, rng = batch
         # step 1: inference-mode prediction (predict_on_batch, train.py:651)
         y_pred = captioner.forward_train(params, images, captions_in, None)
         # step 2+3: relevance weights, no gradient flow
@@ -168,7 +171,19 @@ def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eo
         (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+        return (params, opt_state), {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+
+    return one
+
+
+def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eos_1based: int,
+                           mode: str = "mean", donate: bool = True):
+    """One jitted program: predict -> LRP weights -> dual-loss grad step."""
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
+
+    def step(params, opt_state, images, captions_in, y_onehot, rng):
+        (params, opt_state), m = one((params, opt_state), (images, captions_in, y_onehot, rng))
+        return params, opt_state, m
 
     kw = {"donate_argnums": (0, 1)} if donate else {}
     return jax.jit(step, **kw)
@@ -183,24 +198,7 @@ def make_multi_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: i
     dispatches pay a full host round trip per step; scanning K batches pays
     it once per K. Semantically identical to K chained single steps.
     -> (params, opt_state, metrics with (K,)-stacked values)."""
-    stop_t = jnp.asarray(stop_table)
-
-    def one(carry, batch):
-        params, opt_state = carry
-        images, captions_in, y_onehot, rng = batch
-        y_pred = captioner.forward_train(params, images, captions_in, None)
-        w = jax.lax.stop_gradient(
-            lrp_weights(captioner, params, images, y_pred, stop_t, sos_1based, eos_1based, mode)
-        )
-
-        def loss(p):
-            logits = captioner.forward_train(p, images, captions_in, rng)
-            return dual_loss(logits, w, y_onehot), logits
-
-        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
 
     def multi_step(params, opt_state, images, captions_in, y_onehot, rngs):
         (params, opt_state), metrics = jax.lax.scan(
@@ -221,24 +219,13 @@ def make_sharded_lrp_finetune_step(captioner, optimizer, mesh, stop_table, sos_1
     ICI psum for the gradients."""
     from ..parallel import batch_sharding, replicated
 
-    stop_t = jnp.asarray(stop_table)
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
     data_s = batch_sharding(mesh)
     rep = replicated(mesh)
 
     def step(params, opt_state, images, captions_in, y_onehot, rng):
-        y_pred = captioner.forward_train(params, images, captions_in, None)
-        w = jax.lax.stop_gradient(
-            lrp_weights(captioner, params, images, y_pred, stop_t, sos_1based, eos_1based, mode)
-        )
-
-        def loss(p):
-            logits = captioner.forward_train(p, images, captions_in, rng)
-            return dual_loss(logits, w, y_onehot), logits
-
-        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+        (params, opt_state), m = one((params, opt_state), (images, captions_in, y_onehot, rng))
+        return params, opt_state, m
 
     kw = {"donate_argnums": (0, 1)} if donate else {}
     return jax.jit(
@@ -264,18 +251,15 @@ class LRPFinetuner:
         pp = provider.caption_preprocessor
         self.optimizer = make_optimizer(captioner.model_type, learning_rate)
         self.opt_state = self.optimizer.init(params)
-        self._step = make_lrp_finetune_step(
-            captioner, self.optimizer, stop_word_table(pp),
-            pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode,
-        )
+        stop_table = stop_word_table(pp)
+        step_args = (captioner, self.optimizer, stop_table,
+                     pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode)
+        self._step = make_lrp_finetune_step(*step_args)
         # steps_per_call > 1: scan K batches per dispatch (dispatch-latency
         # amortization, see make_multi_lrp_finetune_step)
         self._steps_per_call = max(int(steps_per_call), 1)
         self._multi_step = (
-            make_multi_lrp_finetune_step(
-                captioner, self.optimizer, stop_word_table(pp),
-                pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode,
-            )
+            make_multi_lrp_finetune_step(*step_args)
             if self._steps_per_call > 1 else None
         )
         self._rng = jax.random.PRNGKey(seed)
@@ -288,38 +272,27 @@ class LRPFinetuner:
         from ..data.prefetch import prefetch
         from .checkpoint import save_checkpoint
 
+        from .step import run_stepped_steps
+
         gen = prefetch(self.provider.training_set(pad_to_length=self._T))
         for _ in range(save_idx * epoch_length):
             next(gen)
         # metrics stay device-side until the chunk ends (no per-step sync)
         acc = {"loss": [], "accuracy": []}
-        K = self._steps_per_call
-        done = 0
-        while done < epoch_length:
-            k = min(K, epoch_length - done)
-            if k == K and K > 1:
-                batches = [next(gen) for _ in range(K)]
-                imgs = jnp.asarray(np.stack([b[0][1] for b in batches]))
-                cap_in = jnp.asarray(np.stack([b[0][0] for b in batches]))
-                y = jnp.asarray(np.stack([b[1] for b in batches]))
-                self._rng, sub = jax.random.split(self._rng)
-                subs = jax.random.split(sub, K)
-                self.params, self.opt_state, m = self._multi_step(
-                    self.params, self.opt_state, imgs, cap_in, y, subs
-                )
-                for key in acc:
-                    acc[key].append(jnp.sum(m[key]))
-                done += K
-                continue
-            (cap_in, imgs), y = next(gen)
-            self._rng, sub = jax.random.split(self._rng)
-            self.params, self.opt_state, m = self._step(
-                self.params, self.opt_state, jnp.asarray(imgs), jnp.asarray(cap_in), jnp.asarray(y), sub
-            )
+
+        def record(m):
             for key in acc:
                 acc[key].append(jnp.sum(m[key]))
-            done += 1
-        metrics = {k: float(np.sum([np.asarray(v) for v in vs])) / max(epoch_length, 1)
+
+        def split_rng(n):
+            self._rng, sub = jax.random.split(self._rng)
+            return jax.random.split(sub, n)
+
+        self.params, self.opt_state = run_stepped_steps(
+            gen, epoch_length, self._steps_per_call, jnp.asarray, split_rng,
+            self._multi_step, self._step, self.params, self.opt_state, record,
+        )
+        metrics = {k: (float(jnp.sum(jnp.stack(vs))) if vs else 0.0) / max(epoch_length, 1)
                    for k, vs in acc.items()}
         save_checkpoint(result_dir, save_idx, self.params, self.opt_state, metric=metrics["accuracy"])
         return metrics

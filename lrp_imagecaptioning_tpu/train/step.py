@@ -17,12 +17,15 @@ from ..models.captioner import masked_accuracy
 from ..parallel import batch_sharding, param_shardings, replicated
 
 
-def make_train_step(captioner, optimizer, donate: bool = True):
-    """-> jitted fn (params, opt_state, images, captions_in, y_onehot, rng)
-    -> (params, opt_state, metrics dict)."""
+def _step_body(captioner, optimizer):
+    """The ONE train-step body shared by the single, multi (scan) and
+    sharded step factories: loss -> grad -> optimizer update -> metrics."""
     loss_fn = captioner.loss_fn()
 
-    def train_step(params, opt_state, images, captions_in, y_onehot, rng):
+    def one(carry, batch):
+        params, opt_state = carry
+        images, captions_in, y_onehot, rng = batch
+
         def loss(p):
             logits = captioner.forward_train(p, images, captions_in, rng)
             return loss_fn(logits, y_onehot), logits
@@ -30,8 +33,19 @@ def make_train_step(captioner, optimizer, donate: bool = True):
         (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        acc = masked_accuracy(logits, y_onehot)
-        return params, opt_state, {"loss": l, "accuracy": acc}
+        return (params, opt_state), {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+
+    return one
+
+
+def make_train_step(captioner, optimizer, donate: bool = True):
+    """-> jitted fn (params, opt_state, images, captions_in, y_onehot, rng)
+    -> (params, opt_state, metrics dict)."""
+    one = _step_body(captioner, optimizer)
+
+    def train_step(params, opt_state, images, captions_in, y_onehot, rng):
+        (params, opt_state), m = one((params, opt_state), (images, captions_in, y_onehot, rng))
+        return params, opt_state, m
 
     kw = {"donate_argnums": (0, 1)} if donate else {}
     return jax.jit(train_step, **kw)
@@ -52,20 +66,7 @@ def make_multi_train_step(captioner, optimizer, donate: bool = True):
     per K steps. On directly-attached TPUs single steps enqueue
     asynchronously and the difference shrinks to the dispatch overhead.
     """
-    loss_fn = captioner.loss_fn()
-
-    def one(carry, batch):
-        params, opt_state = carry
-        images, captions_in, y_onehot, rng = batch
-
-        def loss(p):
-            logits = captioner.forward_train(p, images, captions_in, rng)
-            return loss_fn(logits, y_onehot), logits
-
-        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), {"loss": l, "accuracy": masked_accuracy(logits, y_onehot)}
+    one = _step_body(captioner, optimizer)
 
     def multi_step(params, opt_state, images, captions_in, y_onehot, rngs):
         (params, opt_state), metrics = jax.lax.scan(
@@ -75,6 +76,40 @@ def make_multi_train_step(captioner, optimizer, donate: bool = True):
 
     kw = {"donate_argnums": (0, 1)} if donate else {}
     return jax.jit(multi_step, **kw)
+
+
+def run_stepped_steps(generator, steps, K, place, split_rng, multi_fn, single_fn,
+                      params, opt_state, record):
+    """Shared ``steps_per_call`` driver used by Trainer and LRPFinetuner.
+
+    Pulls ``steps`` batches from ``generator`` (yielding
+    ``((captions_in, images), y_onehot)``), running ``multi_fn`` on stacks of
+    K and ``single_fn`` on the ragged tail. ``place(arr)`` moves host arrays
+    onto the device/mesh; ``split_rng(n)`` returns n fresh keys;
+    ``record(metrics)`` is called once per dispatch with the (possibly
+    (k,)-stacked) metrics dict — keep sums device-side there. Returns the
+    updated (params, opt_state)."""
+    import numpy as np
+
+    done = 0
+    while done < steps:
+        k = min(K, steps - done)
+        if k == K and K > 1:
+            batches = [next(generator) for _ in range(K)]
+            imgs = place(np.stack([b[0][1] for b in batches]))
+            cap_in = place(np.stack([b[0][0] for b in batches]))
+            y = place(np.stack([b[1] for b in batches]))
+            params, opt_state, m = multi_fn(params, opt_state, imgs, cap_in, y,
+                                            split_rng(K))
+            record(m)
+            done += K
+            continue
+        (cap_in, imgs), y = next(generator)
+        params, opt_state, m = single_fn(params, opt_state, place(imgs),
+                                         place(cap_in), place(y), split_rng(1)[0])
+        record(m)
+        done += 1
+    return params, opt_state
 
 
 def make_eval_step(captioner):
@@ -95,20 +130,13 @@ def make_sharded_train_step(captioner, optimizer, mesh, shard_vocab: bool = Fals
     Returns (train_step, place_state) where ``place_state(params, opt_state)``
     moves host state onto the mesh with the right layout.
     """
-    loss_fn = captioner.loss_fn()
+    one = _step_body(captioner, optimizer)
     data_s = batch_sharding(mesh)
     rep = replicated(mesh)
 
     def train_step(params, opt_state, images, captions_in, y_onehot, rng):
-        def loss(p):
-            logits = captioner.forward_train(p, images, captions_in, rng)
-            return loss_fn(logits, y_onehot), logits
-
-        (l, logits), grads = jax.value_and_grad(loss, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        acc = masked_accuracy(logits, y_onehot)
-        return params, opt_state, {"loss": l, "accuracy": acc}
+        (params, opt_state), m = one((params, opt_state), (images, captions_in, y_onehot, rng))
+        return params, opt_state, m
 
     if params_template is not None:
         p_shard = param_shardings(mesh, params_template, shard_vocab)

@@ -33,6 +33,7 @@ from .step import (
     make_multi_train_step,
     make_sharded_train_step,
     make_train_step,
+    run_stepped_steps,
 )
 
 
@@ -137,6 +138,10 @@ class Trainer:
 
     # -- loop --------------------------------------------------------------
 
+    def _split_rng(self, n: int):
+        self._rng, sub = jax.random.split(self._rng)
+        return jax.random.split(sub, n)
+
     def _epoch(self, generator, steps: int, training: bool):
         # metrics stay device-side until the epoch ends — a float() per step
         # would force a host sync per step
@@ -146,37 +151,20 @@ class Trainer:
             for k in acc:
                 acc[k].append(jnp.sum(m[k]))
 
-        K = self._steps_per_call if (training and self._multi_step is not None) else 1
-        done = 0
-        while done < steps:
-            k = min(K, steps - done)
-            if k == K and K > 1:
-                batches = [next(generator) for _ in range(K)]
-                imgs = self._place(np.stack([b[0][1] for b in batches]))
-                cap_in = self._place(np.stack([b[0][0] for b in batches]))
-                y = self._place(np.stack([b[1] for b in batches]))
-                self._rng, sub = jax.random.split(self._rng)
-                subs = jax.random.split(sub, K)
-                self.params, self.opt_state, m = self._multi_step(
-                    self.params, self.opt_state, imgs, cap_in, y, subs
-                )
-                record(m)
-                done += K
-                continue
-            (cap_in, imgs), y = next(generator)
-            imgs = self._place(imgs)
-            cap_in = self._place(cap_in)
-            y = self._place(y)
-            if training:
-                self._rng, sub = jax.random.split(self._rng)
-                self.params, self.opt_state, m = self._train_step(
-                    self.params, self.opt_state, imgs, cap_in, y, sub
-                )
-            else:
-                m = self._eval_step(self.params, imgs, cap_in, y)
-            record(m)
-            done += 1
-        return {k: float(np.sum([np.asarray(v) for v in vs])) / max(steps, 1)
+        if training:
+            K = self._steps_per_call if self._multi_step is not None else 1
+            self.params, self.opt_state = run_stepped_steps(
+                generator, steps, K, self._place, self._split_rng,
+                self._multi_step, self._train_step, self.params, self.opt_state,
+                record,
+            )
+        else:
+            for _ in range(steps):
+                (cap_in, imgs), y = next(generator)
+                record(self._eval_step(self.params, self._place(imgs),
+                                       self._place(cap_in), self._place(y)))
+        # ONE device reduction + transfer per metric
+        return {k: (float(jnp.sum(jnp.stack(vs))) if vs else 0.0) / max(steps, 1)
                 for k, vs in acc.items()}
 
     def run(self, epochs: Optional[int] = None, time_limit: Optional[str] = None,

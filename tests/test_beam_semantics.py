@@ -134,11 +134,14 @@ def test_topk_small_matches_lax_topk():
     from lrp_imagecaptioning_tpu.infer.beam import NEG_INF, _top_k
 
     rng = np.random.default_rng(7)
-    x = jnp.asarray(rng.normal(size=(5, 97)).astype(np.float32))
-    # inject ties and NEG_INF saturation
+    x = jnp.asarray(rng.normal(size=(6, 97)).astype(np.float32))
+    # inject ties, NEG_INF saturation, and true -inf rows (the mask value)
     x = x.at[1, 10].set(x[1, 50])
     x = x.at[2].set(NEG_INF)
     x = x.at[3, ::7].set(3.25)
+    x = x.at[4].set(-np.inf)
+    x = x.at[4, 13].set(1.0)
+    x = x.at[5, 1:].set(-np.inf)
     for k in (1, 3, 5):
         v_ref, i_ref = jax.lax.top_k(x, k)
         v_new, i_new = _top_k(x, k)
