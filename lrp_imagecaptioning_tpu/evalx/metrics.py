@@ -1,20 +1,27 @@
 """Caption metrics: BLEU-1..4, CIDEr(-D), ROUGE-L, METEOR, SPICE, BERTScore.
 
 Equivalent of models/metrics.py:10-89, which wraps the external pycocoevalcap
-package. That package shells out to Java jars for PTBTokenizer/METEOR/SPICE
-(reference metrics.py:62-73 silently degrades METEOR to 0 when the jar is
-missing). Here the scorers are pure Python:
+package. Every reference scorer tokenizes both hypotheses and references with
+PTBTokenizer first (metrics.py:22-23); this module does the same via
+``evalx.ptb`` (Stanford-jar subprocess when a jar is present, Penn-Treebank
+Python rules otherwise).
 
-* BLEU  — corpus-level with clipped n-gram counts and 'closest' effective
-  reference length (pycocoevalcap bleu semantics).
-* CIDEr — CIDEr-D: tf-idf 1..4-gram cosine with length gaussian (sigma=6),
-  clipping, x10 (pycocoevalcap cider semantics).
-* ROUGE — ROUGE-L F-measure, beta=1.2, max over references.
-* METEOR — Python approximation (exact + Porter-stem matching stages,
-  alpha=.9 beta=3 gamma=.5); the reference requires meteor-1.5.jar. Scores
-  correlate but are not bit-identical to the jar — documented deviation.
-* SPICE — requires a Java scene-graph parser; returns 0 with a warning, the
-  same degradation the reference exhibits without its jar.
+Scorers follow pycocoevalcap semantics exactly:
+
+* BLEU  — corpus-level, clipped n-gram counts, 'closest' effective reference
+  length (ties -> shorter), tiny/small smoothing, brevity penalty
+  exp(1 - reflen/testlen) (pycocoevalcap bleu_scorer.py).
+* CIDEr — CIDEr-D: tf-idf 1..4-gram clipped cosine with length gaussian
+  (sigma=6), x10, mean over n then refs (pycocoevalcap cider_scorer.py).
+* ROUGE — ROUGE-L, beta=1.2, with precision and recall each maxed
+  INDEPENDENTLY across references before the F-measure
+  (pycocoevalcap rouge.py::calc_score — not max-F-per-reference).
+* METEOR — meteor-1.5.jar via the pycocoevalcap stdio protocol when the jar
+  + paraphrase data are present (mirroring the reference's presence check,
+  metrics.py:62-73); else a Python approximation (exact + Porter-stem
+  stages, alpha=.9 beta=3 gamma=.5) that tracks but does not equal the jar.
+* SPICE — spice jar subprocess when present; else 0 with a warning, the same
+  degradation the reference exhibits without its jar.
 * BERT  — BERTScore via transformers when a local model is available; else 0
   (zero-egress environments cannot download weights).
 
@@ -25,24 +32,20 @@ dict values are ``[{'caption': str}, ...]``.
 
 from __future__ import annotations
 
+import json
 import math
+import os
+import subprocess
+import tempfile
 import warnings
 from collections import Counter, defaultdict
 
+from .ptb import ptb_tokenize
+
 
 def _tokenize(s: str) -> list[str]:
-    """PTB-lite tokenization: lowercase, strip punctuation, whitespace split.
-
-    The corpora flowing through this framework are already lowercased with
-    punctuation removed by the caption pipeline, so this matches PTBTokenizer
-    output on them.
-    """
-    out = []
-    for w in s.lower().split():
-        w = w.strip(".,!?;:'\"()[]")
-        if w:
-            out.append(w)
-    return out
+    """PTB tokenization per the reference protocol (metrics.py:22-23)."""
+    return ptb_tokenize(s)
 
 
 def _pairs(id_to_prediction, id_to_references):
@@ -70,7 +73,8 @@ class BLEU:
         ref_len = 0
         for hyp, refset in zip(hyps, refs):
             hyp_len += len(hyp)
-            # closest reference length
+            # closest reference length; ties -> shorter (pycocoevalcap
+            # bleu_scorer.py::_single_reflen option='closest')
             ref_len += min((abs(len(r) - len(hyp)), len(r)) for r in refset)[1]
             for n in range(1, self._n + 1):
                 hc = _ngrams(hyp, n)
@@ -91,7 +95,7 @@ class BLEU:
 
 
 class CIDEr:
-    """CIDEr-D, n=1..4, sigma=6, x10."""
+    """CIDEr-D, n=1..4, sigma=6, x10 (pycocoevalcap cider_scorer.py)."""
 
     def __init__(self, n: int = 4, sigma: float = 6.0):
         self._n = n
@@ -146,7 +150,10 @@ class CIDEr:
 
 
 class ROUGE:
-    """ROUGE-L F-measure, beta=1.2, max over references."""
+    """ROUGE-L, beta=1.2. Precision and recall are maxed independently over
+    the reference set BEFORE the F-measure (pycocoevalcap
+    rouge.py::calc_score), which differs from max-F-per-reference whenever the
+    best-precision and best-recall references differ."""
 
     BETA = 1.2
 
@@ -168,39 +175,91 @@ class ROUGE:
         hyps, refs = _pairs(id_to_prediction, id_to_references)
         scores = []
         for hyp, refset in zip(hyps, refs):
-            best = 0.0
+            prec_max = 0.0
+            rec_max = 0.0
             for r in refset:
                 lcs = self._lcs(hyp, r)
-                if lcs == 0:
-                    continue
-                prec = lcs / len(hyp) if hyp else 0.0
-                rec = lcs / len(r) if r else 0.0
-                if prec and rec:
-                    b2 = self.BETA ** 2
-                    best = max(best, (1 + b2) * prec * rec / (rec + b2 * prec))
-            scores.append(best)
+                prec_max = max(prec_max, lcs / len(hyp) if hyp else 0.0)
+                rec_max = max(rec_max, lcs / len(r) if r else 0.0)
+            if prec_max != 0 and rec_max != 0:
+                b2 = self.BETA ** 2
+                score = (1 + b2) * prec_max * rec_max / (rec_max + b2 * prec_max)
+            else:
+                score = 0.0
+            scores.append(score)
         return {"ROUGE_L": sum(scores) / max(len(scores), 1)}
 
 
-class METEOR:
-    """Python METEOR approximation (exact + Porter-stem stages).
+def _find_jar(env_var: str, default_name: str) -> str | None:
+    p = os.environ.get(env_var)
+    if p and os.path.isfile(p):
+        return p
+    here = os.path.dirname(os.path.abspath(__file__))
+    cand = os.path.join(here, "jars", default_name)
+    return cand if os.path.isfile(cand) else None
 
-    The reference uses meteor-1.5.jar via subprocess and returns 0 when the
-    jar is missing (metrics.py:62-73). This implementation computes the
-    standard METEOR formula (alpha=0.9, beta=3.0, gamma=0.5) with exact and
-    stem matchers; synonym/paraphrase stages need WordNet data and are
-    omitted. Values track but do not equal the jar's.
+
+class METEOR:
+    """METEOR: jar subprocess when meteor-1.5.jar + paraphrase-en.gz exist
+    (reference metrics.py:62-73 presence check), Python approximation
+    otherwise.
+
+    Jar path: pycocoevalcap meteor.py stdio protocol —
+    ``java -jar -Xmx2G meteor-1.5.jar - - -stdio -l en -norm`` fed
+    ``SCORE ||| ref1 ||| ... ||| hyp`` lines, then one
+    ``EVAL ||| stat ...`` line; per-segment scores stream back followed by
+    the aggregate.
+
+    Python path: standard METEOR formula (alpha=0.9, beta=3.0, gamma=0.5)
+    with exact and Porter-stem matchers; synonym/paraphrase stages need
+    WordNet data and are omitted. Values track but do not equal the jar's.
     """
 
     ALPHA, BETA_P, GAMMA = 0.9, 3.0, 0.5
 
-    def __init__(self):
+    def __init__(self, jar: str | None = None):
+        self._jar = jar if jar is not None else _find_jar("LRPIC_METEOR_JAR", "meteor-1.5.jar")
+        if self._jar is not None:
+            data = os.path.join(os.path.dirname(self._jar), "data", "paraphrase-en.gz")
+            if not os.path.isfile(data):
+                self._jar = None
         try:
             from nltk.stem.porter import PorterStemmer
 
             self._stem = PorterStemmer().stem
         except Exception:  # pragma: no cover
             self._stem = lambda w: w
+
+    # --- jar path (pycocoevalcap meteor.py protocol) ---
+
+    def _calculate_jar(self, id_to_prediction, id_to_references):
+        keys = sorted(id_to_prediction)
+        hyps, refs = _pairs(id_to_prediction, id_to_references)
+        proc = subprocess.Popen(
+            ["java", "-jar", "-Xmx2G", self._jar, "-", "-", "-stdio", "-l", "en", "-norm"],
+            cwd=os.path.dirname(self._jar),
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+        try:
+            stats = []
+            for hyp, refset in zip(hyps, refs):
+                hyp_s = " ".join(hyp).replace("|||", "").replace("  ", " ")
+                ref_s = " ||| ".join(" ".join(r) for r in refset)
+                proc.stdin.write(f"SCORE ||| {ref_s} ||| {hyp_s}\n")
+                proc.stdin.flush()
+                stats.append(proc.stdout.readline().strip())
+            proc.stdin.write("EVAL ||| " + " ||| ".join(stats) + "\n")
+            proc.stdin.flush()
+            for _ in keys:
+                proc.stdout.readline()  # per-segment scores
+            final = float(proc.stdout.readline().strip())
+        finally:
+            proc.stdin.close()
+            proc.wait()
+        return {"METEOR": final}
+
+    # --- python path ---
 
     def _align(self, hyp, ref):
         """Greedy stage-wise alignment; returns (matches, chunks)."""
@@ -229,6 +288,11 @@ class METEOR:
         return matches, chunks
 
     def calculate(self, id_to_prediction, id_to_references):
+        if self._jar is not None:
+            try:
+                return self._calculate_jar(id_to_prediction, id_to_references)
+            except Exception as e:  # pragma: no cover - jar env only
+                warnings.warn(f"METEOR jar failed ({e}); falling back to Python approximation")
         hyps, refs = _pairs(id_to_prediction, id_to_references)
         scores = []
         for hyp, refset in zip(hyps, refs):
@@ -248,16 +312,51 @@ class METEOR:
 
 
 class SPICE:
-    """Requires a Java scene-graph parser; degrades to 0 like the reference
-    does without its jar (metrics.py:62-73)."""
+    """SPICE: jar subprocess when a spice jar is present (pycocoevalcap
+    spice.py protocol — input/output json files), else 0 with a warning, the
+    same degradation the reference exhibits without its jar
+    (metrics.py:62-73)."""
 
     _warned = False
 
+    def __init__(self, jar: str | None = None):
+        self._jar = jar if jar is not None else _find_jar("LRPIC_SPICE_JAR", "spice-1.0.jar")
+
     def calculate(self, id_to_prediction, id_to_references):
+        if self._jar is not None:
+            try:
+                return self._calculate_jar(id_to_prediction, id_to_references)
+            except Exception as e:  # pragma: no cover - jar env only
+                warnings.warn(f"SPICE jar failed ({e}); returning 0")
+                return {"SPICE": 0.0}
         if not SPICE._warned:
             warnings.warn("SPICE requires the external Java scene-graph parser; returning 0.")
             SPICE._warned = True
         return {"SPICE": 0.0}
+
+    def _calculate_jar(self, id_to_prediction, id_to_references):  # pragma: no cover - jar env only
+        keys = sorted(id_to_prediction)
+        hyps, refs = _pairs(id_to_prediction, id_to_references)
+        payload = [
+            {"image_id": str(k), "test": " ".join(h), "refs": [" ".join(r) for r in rs]}
+            for k, h, rs in zip(keys, hyps, refs)
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            in_path = os.path.join(td, "input.json")
+            out_path = os.path.join(td, "output.json")
+            cache = os.path.join(td, "cache")
+            os.makedirs(cache, exist_ok=True)
+            with open(in_path, "w") as f:
+                json.dump(payload, f)
+            subprocess.run(
+                ["java", "-jar", "-Xmx8G", self._jar, in_path,
+                 "-cache", cache, "-out", out_path, "-subset", "-silent"],
+                cwd=os.path.dirname(self._jar), check=True, capture_output=True,
+            )
+            with open(out_path) as f:
+                results = json.load(f)
+        scores = [float(item["scores"]["All"]["f"]) for item in results]
+        return {"SPICE": sum(scores) / max(len(scores), 1)}
 
 
 class BERT:
