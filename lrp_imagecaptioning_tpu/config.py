@@ -52,6 +52,9 @@ class Config:
     img_feature_length: int = 196      # L = 14*14 (config.py:40)
     img_feature_dim: int = 512         # D (config.py:41)
     image_augmentation: bool = False
+    # None = per-encoder default (224 for vgg/resnet, 299 for inception).
+    # Override (e.g. (32, 32)) shrinks the whole pipeline for tests/benches.
+    image_size: tuple | None = None
 
     # numerics (new, TPU-specific)
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16' (matmul inputs)

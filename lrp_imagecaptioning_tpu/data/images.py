@@ -48,13 +48,18 @@ class ImagePreprocessor:
 
     IMAGE_SIZE = IMAGE_SIZE
 
-    def __init__(self, encoder: str = "vgg16", image_augmentation: bool = False, seed: int = 0):
+    def __init__(self, encoder: str = "vgg16", image_augmentation: bool = False, seed: int = 0,
+                 image_size=None):
         if encoder not in ("vgg16", "vgg19", "resnet50", "resnet101", "inception_v3"):
             raise NotImplementedError(f"encoder {encoder!r} not supported yet")
         self.encoder = encoder
         # per-encoder input size / preprocessing (preprocessors.py:10-53:
-        # vgg/resnet use caffe BGR at 224; inception scales to [-1,1] at 299)
-        self._size = (299, 299) if encoder == "inception_v3" else IMAGE_SIZE
+        # vgg/resnet use caffe BGR at 224; inception scales to [-1,1] at 299);
+        # image_size overrides for small-shape tests/benches
+        if image_size is not None:
+            self._size = tuple(image_size)
+        else:
+            self._size = (299, 299) if encoder == "inception_v3" else IMAGE_SIZE
         self._augment = image_augmentation
         self._rng = np.random.default_rng(seed)
 
@@ -69,6 +74,7 @@ class ImagePreprocessor:
             from . import loader_native
 
             if (self.encoder != "inception_v3"  # native loader is 224/caffe
+                    and self._size == IMAGE_SIZE
                     and loader_native.available()
                     and not (self._augment and random_transform)):
                 return loader_native.load_batch_vgg(list(img_paths))

@@ -29,7 +29,10 @@ class DatasetProvider:
         self.batch_size = config.batch_size
         self.dataset = dataset
         self.single_caption = single_caption
-        self.image_preprocessor = ImagePreprocessor(config.img_encoder, config.image_augmentation)
+        self.image_preprocessor = ImagePreprocessor(
+            config.img_encoder, config.image_augmentation,
+            image_size=getattr(config, "image_size", None),
+        )
         self.caption_preprocessor = CaptionPreprocessor(
             config.rare_words_handling, config.words_min_occur
         )

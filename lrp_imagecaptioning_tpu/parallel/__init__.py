@@ -3,9 +3,11 @@ from .mesh import (  # noqa: F401
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
+    opt_state_shardings,
     param_shardings,
     replicated,
     shard_batch,
+    stacked_batch_sharding,
 )
 from .distributed import (  # noqa: F401
     global_batch_from_local,

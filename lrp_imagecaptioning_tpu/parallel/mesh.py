@@ -56,6 +56,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(K, B, ...) stacks for steps_per_call: the scan (K) axis stays whole,
+    the batch axis splits over data."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -91,6 +97,38 @@ def param_shardings(mesh: Mesh, params, shard_vocab: bool = False):
         specs["decoder"] = decoder_param_pspecs(params["decoder"], True)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
+
+
+def opt_state_shardings(mesh: Mesh, opt_state, params, shard_vocab: bool = False):
+    """NamedSharding pytree for an optax state that MIRRORS the param layout.
+
+    Adam's ``mu``/``nu`` (and any other per-param moment) carry the same
+    keypath suffix and shape as their param, so they get the param's
+    sharding — sharded-vocab embeddings keep their Adam moments sharded
+    instead of replicated-and-reshuffled every step. Scalars (``count``,
+    schedule state) and anything unmatched replicate.
+    """
+    p_shard = jax.tree_util.tree_flatten_with_path(
+        param_shardings(mesh, params, shard_vocab)
+    )[0]
+    p_leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    by_path = {
+        jax.tree_util.keystr(kp): (s, tuple(np.shape(leaf)))
+        for (kp, s), (_, leaf) in zip(p_shard, p_leaves)
+    }
+    rep = NamedSharding(mesh, P())
+
+    def spec_for(kp, leaf):
+        ks = jax.tree_util.keystr(kp)
+        shape = tuple(np.shape(leaf))
+        best = None
+        for pk, (s, pshape) in by_path.items():
+            if ks.endswith(pk) and shape == pshape:
+                if best is None or len(pk) > len(best[0]):
+                    best = (pk, s)
+        return best[1] if best is not None else rep
+
+    return jax.tree_util.tree_map_with_path(spec_for, opt_state)
 
 
 def shard_batch(mesh: Mesh, *arrays):

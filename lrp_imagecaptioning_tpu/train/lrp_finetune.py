@@ -236,34 +236,98 @@ def make_sharded_lrp_finetune_step(captioner, optimizer, mesh, stop_table, sos_1
     )
 
 
+def make_sharded_multi_lrp_finetune_step(captioner, optimizer, mesh, stop_table,
+                                         sos_1based: int, eos_1based: int,
+                                         mode: str = "mean", donate: bool = True):
+    """K sharded finetune steps in ONE dispatch: ``lax.scan`` over (K, B, ...)
+    stacks with the batch axis sharded over data — dispatch amortization and
+    data parallelism combined. Semantically identical to K chained sharded
+    single steps."""
+    from ..parallel import replicated, stacked_batch_sharding
+
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
+    stack_s = stacked_batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def multi_step(params, opt_state, images, captions_in, y_onehot, rngs):
+        (params, opt_state), metrics = jax.lax.scan(
+            one, (params, opt_state), (images, captions_in, y_onehot, rngs)
+        )
+        return params, opt_state, metrics
+
+    kw = {"donate_argnums": (0, 1)} if donate else {}
+    return jax.jit(
+        multi_step,
+        in_shardings=(rep, rep, stack_s, stack_s, stack_s, rep),
+        out_shardings=(rep, rep, rep),
+        **kw,
+    )
+
+
 class LRPFinetuner:
     """TrainingLRPInference* equivalent (train.py:519-673): chunked finetune
-    loop with periodic weight saves; resumable by save_idx."""
+    loop with periodic weight saves; resumable by save_idx.
+
+    With ``mesh`` the step runs data-parallel over the device mesh
+    (make_sharded_lrp_finetune_step); this composes with
+    ``steps_per_call > 1`` via the sharded scan variant."""
 
     def __init__(self, captioner, params, provider, mode: str = "mean",
                  learning_rate: float = 1e-6, seed: int = 0,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1, mesh=None):
         from .optimizer import make_optimizer
 
         self.captioner = captioner
         self.params = params
         self.provider = provider
+        self.mesh = mesh
         pp = provider.caption_preprocessor
         self.optimizer = make_optimizer(captioner.model_type, learning_rate)
         self.opt_state = self.optimizer.init(params)
         stop_table = stop_word_table(pp)
         step_args = (captioner, self.optimizer, stop_table,
                      pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode)
-        self._step = make_lrp_finetune_step(*step_args)
         # steps_per_call > 1: scan K batches per dispatch (dispatch-latency
         # amortization, see make_multi_lrp_finetune_step)
         self._steps_per_call = max(int(steps_per_call), 1)
-        self._multi_step = (
-            make_multi_lrp_finetune_step(*step_args)
-            if self._steps_per_call > 1 else None
-        )
+        if mesh is not None:
+            from ..parallel import replicated
+
+            self._step = make_sharded_lrp_finetune_step(
+                captioner, self.optimizer, mesh, stop_table,
+                pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode
+            )
+            self._multi_step = (
+                make_sharded_multi_lrp_finetune_step(
+                    captioner, self.optimizer, mesh, stop_table,
+                    pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode
+                ) if self._steps_per_call > 1 else None
+            )
+            rep = replicated(mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+        else:
+            self._step = make_lrp_finetune_step(*step_args)
+            self._multi_step = (
+                make_multi_lrp_finetune_step(*step_args)
+                if self._steps_per_call > 1 else None
+            )
         self._rng = jax.random.PRNGKey(seed)
         self._T = captioner.cfg.sentence_length + 1
+
+    def _place(self, arr):
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            return jax.device_put(arr, batch_sharding(self.mesh))
+        return jnp.asarray(arr)
+
+    def _place_stacked(self, arr):
+        if self.mesh is not None:
+            from ..parallel import stacked_batch_sharding
+
+            return jax.device_put(arr, stacked_batch_sharding(self.mesh))
+        return jnp.asarray(arr)
 
     def run(self, save_idx: int, epoch_length: int, result_dir: str = "results/lrp-finetune"):
         """Run ``epoch_length`` iterations, fast-forwarding the generator by
@@ -289,8 +353,9 @@ class LRPFinetuner:
             return jax.random.split(sub, n)
 
         self.params, self.opt_state = run_stepped_steps(
-            gen, epoch_length, self._steps_per_call, jnp.asarray, split_rng,
+            gen, epoch_length, self._steps_per_call, self._place, split_rng,
             self._multi_step, self._step, self.params, self.opt_state, record,
+            place_stacked=self._place_stacked,
         )
         metrics = {k: (float(jnp.sum(jnp.stack(vs))) if vs else 0.0) / max(epoch_length, 1)
                    for k, vs in acc.items()}

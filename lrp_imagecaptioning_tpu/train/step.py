@@ -14,7 +14,13 @@ import jax
 import optax
 
 from ..models.captioner import masked_accuracy
-from ..parallel import batch_sharding, param_shardings, replicated
+from ..parallel import (
+    batch_sharding,
+    opt_state_shardings,
+    param_shardings,
+    replicated,
+    stacked_batch_sharding,
+)
 
 
 def _step_body(captioner, optimizer):
@@ -79,26 +85,29 @@ def make_multi_train_step(captioner, optimizer, donate: bool = True):
 
 
 def run_stepped_steps(generator, steps, K, place, split_rng, multi_fn, single_fn,
-                      params, opt_state, record):
+                      params, opt_state, record, place_stacked=None):
     """Shared ``steps_per_call`` driver used by Trainer and LRPFinetuner.
 
     Pulls ``steps`` batches from ``generator`` (yielding
     ``((captions_in, images), y_onehot)``), running ``multi_fn`` on stacks of
     K and ``single_fn`` on the ragged tail. ``place(arr)`` moves host arrays
-    onto the device/mesh; ``split_rng(n)`` returns n fresh keys;
-    ``record(metrics)`` is called once per dispatch with the (possibly
-    (k,)-stacked) metrics dict — keep sums device-side there. Returns the
-    updated (params, opt_state)."""
+    onto the device/mesh; ``place_stacked`` does the same for (K, B, ...)
+    stacks (defaults to ``place``; on a mesh it must shard axis 1, not 0);
+    ``split_rng(n)`` returns n fresh keys; ``record(metrics)`` is called once
+    per dispatch with the (possibly (k,)-stacked) metrics dict — keep sums
+    device-side there. Returns the updated (params, opt_state)."""
     import numpy as np
 
+    if place_stacked is None:
+        place_stacked = place
     done = 0
     while done < steps:
         k = min(K, steps - done)
         if k == K and K > 1:
             batches = [next(generator) for _ in range(K)]
-            imgs = place(np.stack([b[0][1] for b in batches]))
-            cap_in = place(np.stack([b[0][0] for b in batches]))
-            y = place(np.stack([b[1] for b in batches]))
+            imgs = place_stacked(np.stack([b[0][1] for b in batches]))
+            cap_in = place_stacked(np.stack([b[0][0] for b in batches]))
+            y = place_stacked(np.stack([b[1] for b in batches]))
             params, opt_state, m = multi_fn(params, opt_state, imgs, cap_in, y,
                                             split_rng(K))
             record(m)
@@ -122,40 +131,83 @@ def make_eval_step(captioner):
     return jax.jit(eval_step)
 
 
+def _state_shardings(mesh, shard_vocab, params_template, opt_state_template):
+    """(param shardings, opt-state shardings) for a mesh; opt state mirrors
+    the param layout (Adam moments of sharded params stay sharded)."""
+    rep = replicated(mesh)
+    if params_template is None:
+        return rep, rep
+    p_shard = param_shardings(mesh, params_template, shard_vocab)
+    if opt_state_template is None:
+        return p_shard, rep
+    o_shard = opt_state_shardings(mesh, opt_state_template, params_template, shard_vocab)
+    return p_shard, o_shard
+
+
 def make_sharded_train_step(captioner, optimizer, mesh, shard_vocab: bool = False,
-                            params_template=None, donate: bool = True):
+                            params_template=None, donate: bool = True,
+                            opt_state_template=None):
     """Mesh-parallel train step: batch over the data axis, params replicated
     (or vocab-sharded over the model axis when ``shard_vocab``).
 
     Returns (train_step, place_state) where ``place_state(params, opt_state)``
-    moves host state onto the mesh with the right layout.
+    moves host state onto the mesh with the right layout. When
+    ``opt_state_template`` is given, the optimizer state mirrors the param
+    shardings (Adam moments of vocab-sharded params are sharded, not
+    replicated-and-reshuffled each step); otherwise it replicates.
     """
     one = _step_body(captioner, optimizer)
     data_s = batch_sharding(mesh)
     rep = replicated(mesh)
+    p_shard, o_shard = _state_shardings(mesh, shard_vocab, params_template, opt_state_template)
 
     def train_step(params, opt_state, images, captions_in, y_onehot, rng):
         (params, opt_state), m = one((params, opt_state), (images, captions_in, y_onehot, rng))
         return params, opt_state, m
 
-    if params_template is not None:
-        p_shard = param_shardings(mesh, params_template, shard_vocab)
-    else:
-        p_shard = rep
-
     def place_state(params, opt_state):
-        params = jax.tree.map(
-            lambda x, s: jax.device_put(x, s), params, p_shard
-        ) if params_template is not None else jax.device_put(params, rep)
-        # opt state mirrors param layout where leaves match param shapes
-        opt_state = jax.device_put(opt_state, rep)
-        return params, opt_state
+        return jax.device_put(params, p_shard), jax.device_put(opt_state, o_shard)
 
     kw = {"donate_argnums": (0, 1)} if donate else {}
     jitted = jax.jit(
         train_step,
-        in_shardings=(p_shard if params_template is not None else rep, rep, data_s, data_s, data_s, rep),
-        out_shardings=(p_shard if params_template is not None else rep, rep, rep),
+        in_shardings=(p_shard, o_shard, data_s, data_s, data_s, rep),
+        out_shardings=(p_shard, o_shard, rep),
+        **kw,
+    )
+    return jitted, place_state
+
+
+def make_sharded_multi_train_step(captioner, optimizer, mesh, shard_vocab: bool = False,
+                                  params_template=None, donate: bool = True,
+                                  opt_state_template=None):
+    """K sharded optimizer steps in ONE dispatch: ``lax.scan`` over (K, B, ...)
+    batch stacks whose batch axis is sharded over the data axis.
+
+    Combines the two previously exclusive levers — dispatch amortization
+    (make_multi_train_step) and data-parallel scale-out
+    (make_sharded_train_step). Semantically identical to K chained sharded
+    single steps. Returns (multi_step, place_state).
+    """
+    one = _step_body(captioner, optimizer)
+    stack_s = stacked_batch_sharding(mesh)
+    rep = replicated(mesh)
+    p_shard, o_shard = _state_shardings(mesh, shard_vocab, params_template, opt_state_template)
+
+    def multi_step(params, opt_state, images, captions_in, y_onehot, rngs):
+        (params, opt_state), metrics = jax.lax.scan(
+            one, (params, opt_state), (images, captions_in, y_onehot, rngs)
+        )
+        return params, opt_state, metrics
+
+    def place_state(params, opt_state):
+        return jax.device_put(params, p_shard), jax.device_put(opt_state, o_shard)
+
+    kw = {"donate_argnums": (0, 1)} if donate else {}
+    jitted = jax.jit(
+        multi_step,
+        in_shardings=(p_shard, o_shard, stack_s, stack_s, stack_s, rep),
+        out_shardings=(p_shard, o_shard, rep),
         **kw,
     )
     return jitted, place_state

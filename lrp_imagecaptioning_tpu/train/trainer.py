@@ -31,6 +31,7 @@ from .optimizer import get_learning_rate, make_optimizer, set_learning_rate
 from .step import (
     make_eval_step,
     make_multi_train_step,
+    make_sharded_multi_train_step,
     make_sharded_train_step,
     make_train_step,
     run_stepped_steps,
@@ -83,24 +84,33 @@ class Trainer:
         )
         self.opt_state = self.optimizer.init(self.params)
 
-        if mesh is not None:
-            if steps_per_call != 1:
-                raise ValueError("steps_per_call > 1 is not supported with a mesh yet")
-            self._train_step, place = make_sharded_train_step(
-                self.captioner, self.optimizer, mesh, params_template=self.params
-            )
-            self.params, self.opt_state = place(self.params, self.opt_state)
-        else:
-            self._train_step = make_train_step(self.captioner, self.optimizer)
         # steps_per_call > 1: scan K batches per dispatch — amortizes the
         # host->device dispatch round trip, which dominates chained single
         # steps on relay-attached TPUs (make_multi_train_step docstring has
         # the measurements). Ragged epoch tails fall back to single steps.
+        # Composes with a mesh (make_sharded_multi_train_step); multihost
+        # stacked-batch assembly is not implemented, so that pair still raises.
         self._steps_per_call = max(int(steps_per_call), 1)
-        self._multi_step = (
-            make_multi_train_step(self.captioner, self.optimizer)
-            if self._steps_per_call > 1 else None
-        )
+        if mesh is not None:
+            if self._multihost and self._steps_per_call > 1:
+                raise ValueError("steps_per_call > 1 is not supported with multihost batch assembly")
+            self._train_step, place = make_sharded_train_step(
+                self.captioner, self.optimizer, mesh, params_template=self.params,
+                opt_state_template=self.opt_state,
+            )
+            self._multi_step = None
+            if self._steps_per_call > 1:
+                self._multi_step, _ = make_sharded_multi_train_step(
+                    self.captioner, self.optimizer, mesh, params_template=self.params,
+                    opt_state_template=self.opt_state,
+                )
+            self.params, self.opt_state = place(self.params, self.opt_state)
+        else:
+            self._train_step = make_train_step(self.captioner, self.optimizer)
+            self._multi_step = (
+                make_multi_train_step(self.captioner, self.optimizer)
+                if self._steps_per_call > 1 else None
+            )
         self._eval_step = make_eval_step(self.captioner)
 
         self.result_dir = os.path.join(
@@ -114,6 +124,22 @@ class Trainer:
             from ..parallel.distributed import global_batch_from_local
 
             return global_batch_from_local(self.mesh, arr)
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            data_size = self.mesh.shape.get("data", 1)
+            if arr.shape[0] % data_size == 0:
+                return jax.device_put(arr, batch_sharding(self.mesh))
+            # ragged batch (e.g. a small validation tail): leave uncommitted;
+            # jitted steps with in_shardings reshard what they need
+        return jnp.asarray(arr)
+
+    def _place_stacked(self, arr):
+        """(K, B, ...) stacks: shard the batch axis (axis 1) over data."""
+        if self.mesh is not None:
+            from ..parallel import stacked_batch_sharding
+
+            return jax.device_put(arr, stacked_batch_sharding(self.mesh))
         return jnp.asarray(arr)
 
     # -- weights -----------------------------------------------------------
@@ -156,7 +182,7 @@ class Trainer:
             self.params, self.opt_state = run_stepped_steps(
                 generator, steps, K, self._place, self._split_rng,
                 self._multi_step, self._train_step, self.params, self.opt_state,
-                record,
+                record, place_stacked=self._place_stacked,
             )
         else:
             for _ in range(steps):

@@ -267,15 +267,39 @@ def test_trainer_steps_per_call(tmp_path, monkeypatch):
     from lrp_imagecaptioning_tpu.train.trainer import Trainer
 
     monkeypatch.chdir(tmp_path)
+    # 32x32 images (2x2 block5 grid) keep the CPU compile of the scanned
+    # trainer program small — this test used to take 436 s at 224x224
     cfg = FlickrConfig(
         embedding_dim=16, hidden_dim=16, sentence_length=5, batch_size=2,
         drop_rate=0.0, rare_words_handling="nothing", learning_rate=1e-3,
+        image_size=(32, 32), img_feature_length=4,
     )
     ds = SyntheticDataset(cfg, n_train=10, n_val=2, n_test=2)
     t = Trainer("adaptiveattention", cfg, ds, label="spc", eval_metrics=False,
                 steps_per_call=2)
     gen = t.provider.training_set(pad_to_length=cfg.sentence_length + 1)
     logs = t._epoch(gen, 3, training=True)  # one K=2 call + one single tail
+    assert np.isfinite(logs["loss"]) and np.isfinite(logs["accuracy"])
+
+
+def test_trainer_mesh_steps_per_call(tmp_path, monkeypatch, rng):
+    """Trainer(mesh=..., steps_per_call=2) trains: the scanned sharded step
+    consumes stacked batches sharded over the data axis (VERDICT r1 item 5)."""
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.train.trainer import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    cfg = FlickrConfig(
+        embedding_dim=16, hidden_dim=16, sentence_length=5, batch_size=8,
+        drop_rate=0.0, rare_words_handling="nothing", learning_rate=1e-3,
+        image_size=(32, 32), img_feature_length=4,
+    )
+    ds = SyntheticDataset(cfg, n_train=16, n_val=2, n_test=2)
+    mesh = make_mesh(8)
+    t = Trainer("adaptiveattention", cfg, ds, label="mesh-spc",
+                eval_metrics=False, mesh=mesh, steps_per_call=2)
+    gen = t.provider.training_set(pad_to_length=cfg.sentence_length + 1)
+    logs = t._epoch(gen, 3, training=True)  # one K=2 stacked call + tail
     assert np.isfinite(logs["loss"]) and np.isfinite(logs["accuracy"])
 
 
@@ -307,6 +331,91 @@ def test_multi_lrp_finetune_step_matches_chained(rng):
     imgs = jnp.stack([b[0] for b in batches])
     capsk = jnp.stack([b[1] for b in batches])
     yk = jnp.stack([b[2] for b in batches])
+    pm, om, mm = multi(params, opt_state, imgs, capsk, yk, keys)
+
+    np.testing.assert_allclose(np.asarray(mm["loss"]), single_losses, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        p, pm,
+    )
+
+
+def test_sharded_multi_step_matches_chained_sharded_singles(rng):
+    """K scanned sharded steps == K chained sharded single steps (the two
+    dispatch-amortization and scale-out levers composed, VERDICT r1 item 5)."""
+    from lrp_imagecaptioning_tpu.train.step import make_sharded_multi_train_step
+
+    mesh = make_mesh(8)
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-3)
+    opt_state = opt.init(params)
+    K = 2
+    batches = [_batch(rng, B=8) for _ in range(K)]
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+
+    step, place = make_sharded_train_step(
+        cap, opt, mesh, params_template=params, opt_state_template=opt_state,
+        donate=False)
+    p, o = place(params, opt_state)
+    single_losses = []
+    for i in range(K):
+        images, caps, y = shard_batch(mesh, *batches[i])
+        p, o, m = step(p, o, images, caps, y, keys[i])
+        single_losses.append(float(m["loss"]))
+
+    multi, mplace = make_sharded_multi_train_step(
+        cap, opt, mesh, params_template=params, opt_state_template=opt_state,
+        donate=False)
+    from lrp_imagecaptioning_tpu.parallel import stacked_batch_sharding
+
+    stack = stacked_batch_sharding(mesh)
+    imgs = jax.device_put(jnp.stack([b[0] for b in batches]), stack)
+    capsk = jax.device_put(jnp.stack([b[1] for b in batches]), stack)
+    yk = jax.device_put(jnp.stack([b[2] for b in batches]), stack)
+    pm, om, mm = multi(*mplace(params, opt_state), imgs, capsk, yk, keys)
+
+    np.testing.assert_allclose(np.asarray(mm["loss"]), single_losses, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        p, pm,
+    )
+
+
+def test_sharded_multi_lrp_finetune_matches_chained(rng):
+    """Sharded scan finetune == chained sharded singles (LRPFinetuner leg of
+    VERDICT r1 item 5)."""
+    from lrp_imagecaptioning_tpu.parallel import stacked_batch_sharding
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import (
+        make_sharded_lrp_finetune_step,
+        make_sharded_multi_lrp_finetune_step,
+    )
+
+    mesh = make_mesh(8)
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-4)
+    opt_state = opt.init(params)
+    stop_table = np.zeros((VOCAB,), np.bool_)
+    K = 2
+    batches = [_batch(rng, B=8) for _ in range(K)]
+    keys = jax.random.split(jax.random.PRNGKey(1), K)
+
+    step = make_sharded_lrp_finetune_step(cap, opt, mesh, stop_table, 1, 2, donate=False)
+    p, o = params, opt_state
+    single_losses = []
+    for i in range(K):
+        images, caps, y = shard_batch(mesh, *batches[i])
+        p, o, m = step(p, o, images, caps, y, keys[i])
+        single_losses.append(float(m["loss"]))
+
+    multi = make_sharded_multi_lrp_finetune_step(cap, opt, mesh, stop_table, 1, 2, donate=False)
+    stack = stacked_batch_sharding(mesh)
+    imgs = jax.device_put(jnp.stack([b[0] for b in batches]), stack)
+    capsk = jax.device_put(jnp.stack([b[1] for b in batches]), stack)
+    yk = jax.device_put(jnp.stack([b[2] for b in batches]), stack)
     pm, om, mm = multi(params, opt_state, imgs, capsk, yk, keys)
 
     np.testing.assert_allclose(np.asarray(mm["loss"]), single_losses, rtol=1e-5)

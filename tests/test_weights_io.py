@@ -57,3 +57,91 @@ def test_adaptive_decoder_import(tmp_path):
     assert params["attn"]["V"].shape == (H, 1)
     assert params["output"]["kernel"].shape == (H, V)
     assert params["image_features"]["kernel"].shape == (D, H)
+
+
+def _tiny_params(model_type):
+    import jax
+
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cfg = FlickrConfig(embedding_dim=8, hidden_dim=8, img_feature_length=4,
+                       img_feature_dim=512, sentence_length=5)
+    cap = build_captioner(model_type, cfg, 16)
+    return cap.init_params(jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("model_type", ["adaptiveattention", "gridTD", "aoa"])
+def test_keras_export_import_roundtrip(tmp_path, model_type):
+    """save_reference_checkpoint_h5 -> load_reference_checkpoint_h5 is
+    bit-exact for every decoder + the VGG encoder (VERDICT r1 item 8)."""
+    import jax
+
+    from lrp_imagecaptioning_tpu.models.weights_io import (
+        load_reference_checkpoint_h5,
+        save_reference_checkpoint_h5,
+    )
+
+    params = _tiny_params(model_type)
+    p = str(tmp_path / f"{model_type}.h5")
+    save_reference_checkpoint_h5(p, params, model_type)
+    restored = load_reference_checkpoint_h5(p, model_type)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = {jax.tree_util.keystr(kp): leaf
+              for kp, leaf in jax.tree_util.tree_flatten_with_path(restored)[0]}
+    assert len(flat_a) == len(flat_b)
+    for kp, leaf in flat_a:
+        ks = jax.tree_util.keystr(kp)
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[ks]), err_msg=ks)
+
+
+def test_keras_export_h5_structure(tmp_path):
+    """The exported file carries the keras-2.2.4 save_weights group/attr
+    layout (keras/engine/saving.py::save_weights_to_hdf5_group): root attrs
+    layer_names/backend/keras_version, per-layer weight_names attrs, datasets
+    at '<name>:0' paths."""
+    from lrp_imagecaptioning_tpu.models.weights_io import save_reference_checkpoint_h5
+
+    params = _tiny_params("adaptiveattention")
+    p = str(tmp_path / "k.h5")
+    save_reference_checkpoint_h5(p, params, "adaptiveattention")
+    with h5py.File(p, "r") as f:
+        layer_names = [n.decode() for n in f.attrs["layer_names"]]
+        def _s(v):
+            return v.decode() if isinstance(v, bytes) else str(v)
+        assert _s(f.attrs["backend"]) == "tensorflow"
+        assert _s(f.attrs["keras_version"]) == "2.2.4"
+        assert "block1_conv1" in layer_names and "output" in layer_names
+        assert "external_attention_rnn_wrapper_local_attention_v3_1" in layer_names
+        for ln in layer_names:
+            g = f[ln]
+            wnames = [n.decode() for n in g.attrs["weight_names"]]
+            assert wnames, ln
+            for wn in wnames:
+                assert wn.endswith(":0")
+                assert wn in g, (ln, wn)
+        # reference gridTD naming quirk is reproduced on export+import
+        conv = f["block1_conv1"]
+        assert "block1_conv1/kernel:0" in conv
+
+
+def test_gridtd_reference_bias_naming(tmp_path):
+    """The reference names the TD-LSTM bias '..._top_down_lstm_weight_bias'
+    (model.py:724); the importer must accept that exact spelling."""
+    from lrp_imagecaptioning_tpu.models.weights_io import (
+        load_reference_checkpoint_h5,
+        save_reference_checkpoint_h5,
+    )
+
+    params = _tiny_params("gridTD")
+    p = str(tmp_path / "g.h5")
+    save_reference_checkpoint_h5(p, params, "gridTD")
+    with h5py.File(p, "r") as f:
+        g = f["external_bottom_up_attention_adaptive_1"]
+        names = [n.decode() for n in g.attrs["weight_names"]]
+        assert any("top_down_lstm_weight_bias" in n for n in names)
+    restored = load_reference_checkpoint_h5(p, "gridTD")
+    np.testing.assert_array_equal(
+        np.asarray(params["decoder"]["td_lstm"]["b"]),
+        np.asarray(restored["decoder"]["td_lstm"]["b"]))
