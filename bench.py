@@ -36,10 +36,21 @@ import os as _os
 # 60 -> 93.3. Default 56: within 0.2% of the sweep peak and divisible by 8
 # so the LRPIC_BENCH_MESH=8 configuration shards evenly.
 BATCH = int(_os.environ.get("LRPIC_BENCH_BATCH", "56"))
-VOCAB = 7003
+VOCAB = int(_os.environ.get("LRPIC_BENCH_VOCAB", "7003"))
 BEAM = 3
-T = 20
+T = int(_os.environ.get("LRPIC_BENCH_T", "20"))
 CFG_OVERRIDES: dict = {}  # tests shrink the model/grid through this
+# LRPIC_BENCH_IMAGE=64 shrinks the input (and the VGG grid with it) so the
+# LRPIC_BENCH_MESH=N configuration can execute on N virtual CPU devices as a
+# sharding-correctness record; throughput numbers at reduced shapes are NOT
+# comparable to the headline 224 config.
+if _os.environ.get("LRPIC_BENCH_IMAGE"):
+    _sz = int(_os.environ["LRPIC_BENCH_IMAGE"])
+    CFG_OVERRIDES.update(
+        image_size=(_sz, _sz),
+        img_feature_length=(_sz // 16) ** 2,
+        sentence_length=T,
+    )
 
 
 def build(mesh=None):
@@ -137,14 +148,13 @@ def build(mesh=None):
     if mesh is not None:
         # shard_map so each device runs its LOCAL sample loop (a plain
         # lax.map over a sharded axis would gather across devices)
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        stage_cnn_lrp = jax.jit(shard_map(
-            _cnn_lrp_local, mesh,
+        stage_cnn_lrp = jax.jit(jax.shard_map(
+            _cnn_lrp_local, mesh=mesh,
             in_specs=(P(), P("data"), P("data")),
             out_specs=P("data"),
-            check_rep=False,
+            check_vma=False,
         ))
     else:
         stage_cnn_lrp = jax.jit(_cnn_lrp_local)
@@ -190,7 +200,8 @@ def main():
 
     fn, params = build(mesh)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
+    sz = CFG_OVERRIDES.get("image_size", (224, 224))
+    images = jnp.asarray(rng.normal(size=(BATCH, sz[0], sz[1], 3)).astype(np.float32))
     if mesh is not None:
         from lrp_imagecaptioning_tpu.parallel import batch_sharding
 

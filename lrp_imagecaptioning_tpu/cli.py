@@ -22,6 +22,27 @@ _METHOD_CHOICES = ("lrp", "gradient", "input_times_gradient", "guided_gradcam",
                    "deconvnet", "deep_taylor", "deep_lift")
 
 
+def _coerce_config_value(cfg, key: str, raw: str):
+    """Parse a --set key=value string against the dataclass field's type."""
+    import dataclasses
+
+    fields = {f.name: f for f in dataclasses.fields(type(cfg))}
+    if key not in fields:
+        raise SystemExit(f"--set: unknown config field {key!r}")
+    current = getattr(cfg, key)
+    if raw.lower() in ("none", "null"):
+        return None
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple) or (current is None and "," in raw):
+        return tuple(int(x) for x in raw.split(","))
+    return raw
+
+
 def _build_dataset(args):
     from .config import COCO2014Config, COCOConfig, FlickrConfig
     from .data.datasets import COCODataset, COCODatasetKarpathy, Flickr30kDataset, SyntheticDataset
@@ -39,6 +60,11 @@ def _build_dataset(args):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
+    if getattr(args, "dataset_root", None):
+        overrides["dataset_root"] = args.dataset_root
+    for kv in getattr(args, "config_set", None) or ():
+        key, _, raw = kv.partition("=")
+        overrides[key] = _coerce_config_value(cfg, key, raw)
     if overrides:
         cfg = cfg.replace(**overrides)
     if args.dataset == "synthetic":
@@ -55,6 +81,11 @@ def _add_common(p):
                    choices=["adaptiveattention", "gridTD", "aoa"])
     p.add_argument("--weights", default=None, help=".npz / orbax dir / reference .hdf5")
     p.add_argument("--batch-size", type=int, dest="batch_size", default=None)
+    p.add_argument("--dataset-root", dest="dataset_root", default=None,
+                   help="override the config's dataset_root path")
+    p.add_argument("--set", dest="config_set", action="append", metavar="KEY=VALUE",
+                   help="override any config field, e.g. --set hidden_dim=64 "
+                        "(repeatable; values parsed by field type)")
 
 
 def cmd_train(args):

@@ -126,7 +126,14 @@ class EvaluationBbox:
         self._negate = negate
         cfg = explainer.captioner.cfg
         self._grid = int(round(float(np.sqrt(cfg.img_feature_length))))
-        self._upscale = 224 // self._grid
+        # model input resolution; the reference protocol is fixed at 224
+        # (evaluate_bbox.py:74-86) and boxes in the entities dicts are
+        # pre-scaled to it via resize_ratio = 224/original. When the model
+        # runs at a smaller input (test/bench configs), heatmaps come out at
+        # that resolution and the 224-based boxes are rescaled onto it.
+        size = getattr(cfg, "image_size", None)
+        self._input_hw = tuple(size) if size else (224, 224)
+        self._upscale = self._input_hw[0] // self._grid
 
     def evaluate(self, image, img_filename: str, explanation=None):
         """-> (lrp_scores, attention_scores, category_key) where scores are
@@ -150,16 +157,22 @@ class EvaluationBbox:
                 hm = process_heatmap(explanation.relevance_maps[word_idx], self._negate)
                 atn = process_attention(explanation.attentions[word_idx], self._grid, self._upscale)
                 for box in ann["bbox"][cat_id]:
-                    new_box = [
-                        int(box[0] * ratio[0]), int(box[1] * ratio[1]),
-                        int(box[2] * ratio[0]), int(box[3] * ratio[1]),
-                    ]
+                    # ratio maps original -> 224 (reference protocol); the
+                    # extra map/224 factor maps 224 -> actual map resolution
+                    # (identity at the reference's 224 inputs).
+                    def scaled(m):
+                        sx = ratio[0] * m.shape[1] / 224.0
+                        sy = ratio[1] * m.shape[0] / 224.0
+                        return [int(box[0] * sx), int(box[1] * sy),
+                                int(box[2] * sx), int(box[3] * sy)]
+
+                    box_hm, box_atn = scaled(hm), scaled(atn)
                     for t in THRESHOLDS:
                         lrp_scores[cat_id][str(t)] = max(
-                            lrp_scores[cat_id][str(t)], correctness(new_box, hm, t)
+                            lrp_scores[cat_id][str(t)], correctness(box_hm, hm, t)
                         )
                         att_scores[cat_id][str(t)] = max(
-                            att_scores[cat_id][str(t)], correctness(new_box, atn, t)
+                            att_scores[cat_id][str(t)], correctness(box_atn, atn, t)
                         )
         return lrp_scores, att_scores, category_key
 

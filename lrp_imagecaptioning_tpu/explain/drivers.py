@@ -95,7 +95,8 @@ def explain_image_file(captioner, params, caption_pp, img_path: str, out_dir: st
                        method: str = "lrp", beam_size: int = 3):
     """Explain one image file end-to-end and render its grids
     (explain_image.py:152-200 analyze_img equivalent)."""
-    raw = load_img_array(img_path)
+    size = getattr(captioner.cfg, "image_size", None) or (224, 224)
+    raw = load_img_array(img_path, target_size=tuple(size))
     x = vgg_preprocess(raw)
     explainer = Explainer(captioner, params, caption_pp, method=method, beam_size=beam_size)
     explanation = explainer.analyze(x)
@@ -103,7 +104,7 @@ def explain_image_file(captioner, params, caption_pp, img_path: str, out_dir: st
     save_folder = os.path.join(out_dir, img_filename.split(".")[0])
     g = int(round(float(np.sqrt(captioner.cfg.img_feature_length))))
     render_explanation(explanation, raw, save_folder, img_filename, method=method,
-                       grid=g, upscale=224 // g)
+                       grid=g, upscale=size[0] // g)
     return explanation
 
 

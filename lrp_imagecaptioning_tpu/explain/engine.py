@@ -38,6 +38,8 @@ catalogue lives in explain/analyzers.py.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -76,6 +78,16 @@ class Explanation:
     betas: np.ndarray            # (W,) sentinel gate at each explained word
 
 
+def _n_explained(tokens_row, eos) -> int:
+    """Number of word positions before the first EOS/pad in a 1-based row."""
+    n = 0
+    for tok in tokens_row:
+        if tok == 0 or tok == eos:
+            break
+        n += 1
+    return n
+
+
 def _decoder_backward_fn(model_type: str, method: str):
     # decoder side: LRP methods use the relevance recursion; every
     # gradient-family method shares the reference's BPTT gradient backward
@@ -96,11 +108,21 @@ class Explainer:
     """
 
     def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None,
-                 storage_dtype=None):
+                 storage_dtype=None, word_buckets=(4, 8, 12, 16)):
         """``storage_dtype=jnp.bfloat16`` holds the VGG-LRP backward's
         activations/relevances in bf16 — the production throughput mode
         (+12% measured; heatmap deviation ~0.9% of map scale, see
-        cnn_lrp.py). Default f32 for exactness."""
+        cnn_lrp.py). Default f32 for exactness.
+
+        ``word_buckets``: static word-count buckets for the explain program.
+        The decoded caption's real length picks the smallest bucket that
+        covers it and only that many positions are explained — the CNN
+        backward (the dominant cost) then scales with the REAL caption
+        length (~10 words on Flickr30k/COCO) instead of the padded T=20 the
+        reference always pays (explainers.py:179-189 predicts per word but
+        over the full beam output). Each bucket compiles once on first use.
+        Pass ``word_buckets=()`` to always explain all ``max_len`` positions
+        in a single program (round-1 behavior)."""
         if method not in METHODS:
             raise ValueError(f"method {method!r} not in {METHODS}")
         self.captioner = captioner
@@ -120,7 +142,23 @@ class Explainer:
         self._noise_seed = 0
         self._storage_dtype = storage_dtype
         self._decode = jax.jit(self._decode_impl)
-        self._explain = jax.jit(self._explain_impl)
+        # bucketed explain programs, compiled per word-count on first use;
+        # the full-length program is always available as bucket T.
+        self._buckets = tuple(sorted(w for w in set(word_buckets) if w < self._max_len))
+        self._explain_jit = {}
+
+    def _bucket_for(self, n_words: int) -> int:
+        for w in self._buckets:
+            if n_words <= w:
+                return w
+        return self._max_len
+
+    def _explain_for(self, n_words: int):
+        fn = self._explain_jit.get(n_words)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._explain_impl, n_words=n_words))
+            self._explain_jit[n_words] = fn
+        return fn
 
     # -- jitted programs ---------------------------------------------------
 
@@ -137,14 +175,16 @@ class Explainer:
         )
         return tokens[0], score[0]
 
-    def _explain_impl(self, params, image, tokens_1based):
+    def _explain_impl(self, params, image, tokens_1based, n_words=None):
         """All-word explanation as one program.
 
-        tokens_1based: (T,) beam output (1-based, 0 after EOS). Word positions
-        are explained unconditionally (static shapes); the caller masks.
+        tokens_1based: (T,) beam output (1-based, 0 after EOS). The first
+        ``n_words`` (static; default T) positions are explained
+        unconditionally (static shapes); the caller masks.
         """
         cap = self.captioner
         T = self._max_len
+        W = T if n_words is None else int(n_words)
         sos0 = self._pp.SOS_TOKEN_LABEL_ENCODED - 1
         feat_grid = cap.encode(params, image[None])          # (1, L, D)
         consts_b = cap.prepare_consts(params, feat_grid)
@@ -166,7 +206,7 @@ class Explainer:
         def one(t, w):
             return backward(dec_params, consts, caches, t, w, T)
 
-        r_feat, r_words, atts = jax.vmap(one)(jnp.arange(T), words0)  # (T,L,D), (T,T), (T,L)
+        r_feat, r_words, atts = jax.vmap(one)(jnp.arange(W), words0[:W])  # (W,L,D), (W,T), (W,L)
 
         # linguistic relevance: SOS slot zeroed, then max-|.| normalization
         # (explainers.py:660-665; the reference also drops the SOS column —
@@ -174,9 +214,9 @@ class Explainer:
         r_words = r_words.at[:, 0].set(0.0)
         r_words = r_words / (jnp.max(jnp.abs(r_words), axis=-1, keepdims=True) + 1e-12)
 
-        # CNN backward, word-batched; seeds (T, 14, 14, 512)
+        # CNN backward, word-batched; seeds (W, 14, 14, 512)
         g = int(round(float(np.sqrt(cap.cfg.img_feature_length))))
-        seeds = r_feat.reshape(T, g, g, cap.cfg.img_feature_dim)
+        seeds = r_feat.reshape(W, g, g, cap.cfg.img_feature_dim)
         if cap.cfg.img_encoder.startswith("resnet") and self.method in _RELEVANCE_METHODS:
             from .resnet_lrp import (
                 resnet_deep_taylor_wordbatched,
@@ -301,7 +341,7 @@ class Explainer:
         elif self.method == "smoothgrad":
             from .cnn_gradient import vgg_smoothgrad
 
-            keys = jax.random.split(jax.random.PRNGKey(self._noise_seed), T)
+            keys = jax.random.split(jax.random.PRNGKey(self._noise_seed), W)
             maps = jax.vmap(lambda s, k: vgg_smoothgrad(
                 params["vgg"], image[None], s[None], k, cap.cfg.img_encoder, cap.cfg.layer_name,
                 n=self._sg_samples, noise_scale=self._sg_noise,
@@ -318,9 +358,9 @@ class Explainer:
 
             maps = jax.vmap(one_ggc)(seeds)
         if hasattr(caches, "beta"):
-            betas = caches.beta[:, 0]                        # (T,) sentinel gate
+            betas = caches.beta[:W, 0]                       # (W,) sentinel gate
         else:  # AOA has no visual sentinel
-            betas = jnp.zeros((T,), maps.dtype)
+            betas = jnp.zeros((W,), maps.dtype)
         return maps, r_feat, r_words, atts, betas
 
     # -- batched programs --------------------------------------------------
@@ -334,7 +374,7 @@ class Explainer:
         )
         return tokens, scores
 
-    def _explain_batch_impl(self, params, images, tokens_1based):
+    def _explain_batch_impl(self, params, images, tokens_1based, n_words=None):
         """Batched analyze: one dispatch for B images.
 
         ``lax.map`` (sequential per-image programs, each word-batched)
@@ -344,7 +384,7 @@ class Explainer:
         mapping at production shapes (see
         cnn_lrp.py::vgg_lrp_preset_a_imgword_batched for the numbers)."""
         return jax.lax.map(
-            lambda args: self._explain_impl(params, args[0], args[1]),
+            lambda args: self._explain_impl(params, args[0], args[1], n_words=n_words),
             (images, tokens_1based),
         )
 
@@ -357,14 +397,22 @@ class Explainer:
         images = jnp.asarray(images)
         if not hasattr(self, "_decode_batch"):
             self._decode_batch = jax.jit(self._decode_batch_impl)
-            self._explain_batch = jax.jit(self._explain_batch_impl)
+            self._explain_batch_jit = {}
         if tokens_1based is None:
             tokens_1based, _ = self._decode_batch(self.params, images)
         toks = jnp.asarray(tokens_1based, jnp.int32)
-        maps, r_feat, r_words, atts, betas = self._explain_batch(self.params, images, toks)
+        toks_np = np.asarray(toks)
+        # bucket by the longest caption in the batch (one shared program)
+        n_max = max((_n_explained(row, self._pp.EOS_TOKEN_LABEL_ENCODED) for row in toks_np),
+                    default=self._max_len)
+        bucket = self._bucket_for(n_max)
+        fn = self._explain_batch_jit.get(bucket)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._explain_batch_impl, n_words=bucket))
+            self._explain_batch_jit[bucket] = fn
+        maps, r_feat, r_words, atts, betas = fn(self.params, images, toks)
         out = []
         eos = self._pp.EOS_TOKEN_LABEL_ENCODED
-        toks_np = np.asarray(toks)
         for b in range(images.shape[0]):
             words, keep = [], []
             for t, tok in enumerate(toks_np[b]):
@@ -407,7 +455,6 @@ class Explainer:
         else:
             caption = None
         toks = jnp.asarray(tokens_1based, jnp.int32)
-        maps, r_feat, r_words, atts, betas = self._explain(self.params, image, toks)
         eos = self._pp.EOS_TOKEN_LABEL_ENCODED
         words, keep = [], []
         for t, tok in enumerate(np.asarray(tokens_1based)):
@@ -416,6 +463,8 @@ class Explainer:
             words.append(self._pp.word_of[int(tok)])
             keep.append(t)
         keep = np.asarray(keep, np.int64)
+        bucket = self._bucket_for(len(keep))
+        maps, r_feat, r_words, atts, betas = self._explain_for(bucket)(self.params, image, toks)
         if caption is None:
             caption = " ".join(words + [self._pp.EOS_TOKEN])
         return Explanation(

@@ -54,11 +54,22 @@ def latest_checkpoint(directory: str) -> str | None:
 
 
 def restore_checkpoint(path: str, params_template, opt_state_template=None):
-    """Restore into the given templates; returns (params, opt_state|None)."""
+    """Restore into the given templates; returns (params, opt_state|None).
+
+    With no opt_state template (inference-time loads), a params-only partial
+    restore is used so checkpoints that carry optimizer state still load."""
+    import orbax.checkpoint as ocp
+
     target = {"params": params_template}
     if opt_state_template is not None:
         target["opt_state"] = opt_state_template
-    restored = _ckptr().restore(os.path.abspath(path), target)
+        restored = _ckptr().restore(os.path.abspath(path), target)
+    else:
+        with ocp.PyTreeCheckpointer() as c:
+            restored = c.restore(
+                os.path.abspath(path),
+                args=ocp.args.PyTreeRestore(item=target, partial_restore=True),
+            )
     return restored["params"], restored.get("opt_state")
 
 

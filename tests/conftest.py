@@ -16,6 +16,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite is compile-dominated (tiny tensors,
+# big programs), and the cache works on CPU — repeat runs skip ~90% of the
+# wall-clock. Safe to share across workers; keyed by HLO hash.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("LRPIC_TEST_CACHE", "/tmp/lrpic_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,5 +1,6 @@
 """Extended analyzer tests: LRP rule variants + gradient-family analyzers."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -193,6 +194,7 @@ def test_preset_a_wordbatched_fused_matches_direct(rng):
                                    rtol=2e-4, atol=1e-6, err_msg=until)
 
 
+@pytest.mark.slow
 def test_preset_a_imgword_batched_matches_per_image(rng):
     """The image+word-batched backward matches mapping the per-image
     word-batched function to the ulp (f32 and bf16-storage paths)."""

@@ -151,3 +151,46 @@ def test_topk_small_matches_lax_topk():
     v_ref, i_ref = jax.lax.top_k(x, 16)
     v_new, i_new = _top_k(x, 16)
     np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_new))
+
+
+def test_topk_finfo_min_corner_pinned():
+    """Property test for the documented _top_k corner (infer/beam.py): inputs
+    EXACTLY equal to float32 finfo.min tie with masked winners in selection
+    order. Pins the contract: (a) no index is ever selected twice, (b) the
+    returned VALUES are the true top-k multiset whenever fewer than k entries
+    sit at finfo.min, and (c) with -inf padding (the beam's actual masking,
+    which produces NEG_INF not finfo.min) selection matches lax.top_k."""
+    import numpy as np
+
+    from lrp_imagecaptioning_tpu.infer.beam import NEG_INF, _top_k
+
+    fmin = np.finfo(np.float32).min
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        x = rng.normal(size=(3, 11)).astype(np.float32)
+        # scatter pathological values: some -inf, some exactly finfo.min
+        n_inf, n_min = rng.integers(0, 4), rng.integers(0, 4)
+        for row in range(x.shape[0]):
+            pos = rng.permutation(x.shape[1])
+            x[row, pos[:n_inf]] = -np.inf
+            x[row, pos[n_inf:n_inf + n_min]] = fmin
+        k = 4
+        v, i = _top_k(jnp.asarray(x), k)
+        v, i = np.asarray(v), np.asarray(i)
+        # (a) distinct indices per row, always
+        for row in range(x.shape[0]):
+            assert len(set(i[row].tolist())) == k, (trial, i[row])
+            # values are consistent with the indices
+            np.testing.assert_array_equal(v[row], x[row, i[row]])
+            # (b) true top-k multiset when < k entries are at finfo.min
+            if n_min < k - n_inf:
+                expect = np.sort(x[row])[::-1][:k]
+                np.testing.assert_array_equal(np.sort(v[row])[::-1], expect)
+
+    # (c) NEG_INF-masked rows (the beam's masking value) match lax.top_k
+    x = rng.normal(size=(5, 9)).astype(np.float32)
+    x[:, ::2] = NEG_INF
+    v, i = _top_k(jnp.asarray(x), 3)
+    vr, ir = jax.lax.top_k(jnp.asarray(x), 3)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))

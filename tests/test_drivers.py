@@ -200,6 +200,7 @@ def test_caption_http_server(rng):
         srv.stop()
 
 
+@pytest.mark.slow
 def test_cli_serve_smoke(tmp_path, monkeypatch, rng):
     """CLI serve: boots the HTTP service on the synthetic dataset, answers a
     caption request, exits after --serve-seconds."""

@@ -147,3 +147,42 @@ def test_smoothgrad_noise_default_scales_with_encoder():
     )
     cap_inc = build_captioner("adaptiveattention", icfg, VOCAB)
     assert Explainer(cap_inc, None, FakePP(), method="smoothgrad")._sg_noise == 0.125
+
+
+def test_word_bucketing_matches_full_program(rng):
+    """Short captions dispatch to a small bucket; outputs bit-match the
+    full-length (word_buckets=()) program on the kept positions."""
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    tokens = np.array([5, 7, 2, 0, 0], np.int32)  # 2 real words -> bucket 4
+
+    bucketed = Explainer(cap, params, FakePP(), method="lrp", word_buckets=(4,))
+    full = Explainer(cap, params, FakePP(), method="lrp", word_buckets=())
+    rb = bucketed.analyze(image, tokens_1based=tokens)
+    rf = full.analyze(image, tokens_1based=tokens)
+
+    assert list(bucketed._explain_jit) == [4], "bucket 4 should be the only program"
+    assert rb.words == rf.words == ["w5", "w7"]
+    for name in ("relevance_maps", "feat_relevance", "attentions",
+                 "word_relevances", "betas"):
+        a, b = getattr(rb, name), getattr(rf, name)
+        assert a.shape == b.shape, name
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=name)
+
+
+def test_word_bucketing_batch_uses_longest_caption(rng):
+    """analyze_batch buckets by the longest caption in the batch."""
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    tokens = np.array([[5, 2, 0, 0, 0],
+                       [5, 7, 6, 2, 0]], np.int32)  # 1 and 3 real words
+
+    ex = Explainer(cap, params, FakePP(), method="lrp", word_buckets=(2, 4))
+    out = ex.analyze_batch(images, tokens_1based=tokens)
+    assert list(ex._explain_batch_jit) == [4]
+    assert [e.words for e in out] == [["w5"], ["w5", "w7", "w6"]]
+    # per-image path agrees with the batch path
+    single = ex.analyze(images[1], tokens_1based=tokens[1])
+    np.testing.assert_allclose(out[1].relevance_maps, single.relevance_maps, atol=1e-5)

@@ -16,6 +16,7 @@ def test_topology_matches_keras():
     assert inception.MIXED10_CHANNELS == 2048
 
 
+@pytest.mark.slow
 def test_mixed10_shape_299(rng):
     params = inception.init_inception_v3_params(jax.random.PRNGKey(0))
     x = jnp.asarray(rng.normal(size=(1, 299, 299, 3)).astype(np.float32))
@@ -76,6 +77,7 @@ def test_h5_numbered_import_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_inception_lrp_end_to_end(rng):
     """Rule-based LRP through the whole inception stack: shape, finiteness,
     nonzero input relevance, and conservation through a concat split."""
@@ -114,6 +116,7 @@ def test_inception_lrp_via_engine(rng):
     assert np.isfinite(result.relevance_maps).all()
 
 
+@pytest.mark.slow
 def test_inception_deep_taylor_and_deeplift_via_engine(rng):
     """Relevance-family dispatch on the inception encoder; DeepTaylor maps
     are nonnegative (relu-clamped seed, WSquare/mask/WTA walk)."""

@@ -128,6 +128,7 @@ def test_resnet_deep_taylor_and_deeplift(rng):
             assert r.relevance_maps.min() >= 0.0
 
 
+@pytest.mark.slow
 def test_resnet_deeplift_at_own_reference_equals_gradient(rng):
     """With reference_inputs = the image itself every Δ is zero, so the
     approximate-gradient fallbacks fire everywhere and the DeepLIFT walk
