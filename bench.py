@@ -208,16 +208,23 @@ def main():
         images = jax.device_put(images, batch_sharding(mesh))
 
     # compile + warmup; reduce on device and materialize on host so async
-    # dispatch cannot under-report (checksum forces the full pipeline)
+    # dispatch cannot under-report (checksum forces the full pipeline).
+    # Per-IMAGE sums: the (B,) result keeps the batch sharding in mesh mode,
+    # so no cross-device all-reduce is introduced (an all-reduce checksum
+    # deadlocks XLA:CPU's 40s collective rendezvous when N virtual devices
+    # serialize on few host cores).
+    def checksum(hm):
+        return hm.sum(axis=tuple(range(1, hm.ndim)))
+
     tokens, heatmaps = fn(params, images)
-    _ = np.asarray(heatmaps.sum()), np.asarray(tokens)
+    _ = np.asarray(checksum(heatmaps)), np.asarray(tokens)
 
     iters = 10
     checks = []
     t0 = time.perf_counter()
     for _ in range(iters):
         tokens, heatmaps = fn(params, images)
-        checks.append(heatmaps.sum())  # device-side; fetched after the loop
+        checks.append(checksum(heatmaps))  # device-side; fetched after the loop
     _ = [np.asarray(c) for c in checks]
     dt = time.perf_counter() - t0
 

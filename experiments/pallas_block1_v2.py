@@ -1,0 +1,476 @@
+"""Second-generation fused Pallas kernel for the block1/2 conv-LRP backward.
+
+Round-1's kernel (ops/pallas_conv_lrp.py) lost 2.2x to XLA at block1. Its
+loss decomposes into three 2x factors this version removes:
+
+  1. f32 traffic everywhere        -> bf16 storage (f32 accumulation)
+  2. channels zero-padded 64->128  -> words-packed-into-lanes variant
+                                      (2 words share the 128-lane dim with a
+                                      block-diagonal tap matrix: full MXU
+                                      utilization, zero wasted traffic)
+  3. two passes with s in HBM      -> ONE kernel: s = r/z computed in VMEM
+                                      from a row-halo'd r band, transposed
+                                      conv + x-reweight before leaving VMEM
+
+z = conv(x, W+) + b is per-IMAGE (shared by all words): precomputed once by
+XLA and held fully VMEM-resident across the whole grid (6.5 MB bf16 at
+block1). The grid runs words innermost so the x row-band block is fetched
+once per band (Pallas skips re-fetch when the index map output is unchanged).
+
+Measured against the XLA chain (experiments/bench_block1.py: 6.57 ms/chain
+at (20,224,224,64) bf16): see __main__ output.
+
+RESULT (v5e via axon tunnel, 2026-08-17) — the Pallas question is CLOSED:
+
+  pallas v2 (fused, packed, steady-state)   5.34-5.94 ms/chain
+  pallas v3 (edge-aware DMA, no repad)      5.22-5.45 ms/chain
+  XLA, identical packed layout              5.77 ms/chain
+  repad-only elementwise pass (floor probe) 4.22 ms/chain
+  unpacked C=64 lanes                       Mosaic: 'Slice shape along
+                                            dimension 3 must be aligned to
+                                            tiling (128)' — confirmed dead
+
+Interpretation: a bare one-pass elementwise rewrite of the same 257 MB
+(read+write, bf16) costs 4.2 ms -> this chip realizes ~60 GB/s streaming on
+these access patterns (far below v5e paper bandwidth; tunnel-attached chip).
+XLA's conv chain, the round-1 two-pass kernel (normalized for its f32/
+channel-pad/two-pass handicaps), and this fully-fused single-pass kernel all
+land within 1.25x of that floor. There is no headroom left at block1 from
+kernel engineering on this hardware; the conv chain is bandwidth-wall-bound.
+Parity: packed v2 matches the reference rule to 0.5% (bf16 storage).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 0.01
+
+
+def _kernel(r_hbm, z_ref, x_ref, k_ref, out_ref, s_pad, r_tile, sem, *,
+            Th: int, W: int, C: int, n_bands: int):
+    """Grid cell (band i, word w): rows [i*Th, i*Th+Th) of word w.
+
+    r_hbm: (Wn, H+2, W, C) bf16 HBM, zero-padded rows (halo)
+    z_ref: (1, H+2, W, C) bf16 VMEM-resident, ONES in the halo rows
+    x_ref: (1, Th, W, C) bf16 band (re-used across words)
+    k_ref: (9, C, C) bf16 taps of the flipped/transposed positive kernel
+    out_ref: (1, Th, W, C) bf16
+    s_pad: (Th+2, Wp, C) bf16 scratch, width-halo'd s (cols 0 and W+1.. zero)
+    r_tile: (Th+2, W, C) bf16 scratch
+    """
+    i = pl.program_id(0)
+    w = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(r_hbm.at[w, pl.ds(i * Th, Th + 2)], r_tile, sem)
+    dma.start()
+
+    # zero the width-halo columns once (they are never written afterwards)
+    @pl.when(jnp.logical_and(i == 0, w == 0))
+    def _():
+        s_pad[...] = jnp.zeros_like(s_pad)
+
+    dma.wait()
+
+    # s = r / stab(z) on the halo'd band, written inside the width halo
+    z_band = z_ref[0, pl.ds(i * Th, Th + 2)]                  # (Th+2, W, C)
+    zf = z_band.astype(jnp.float32)
+    zf = zf + (zf == 0).astype(jnp.float32) * EPS
+    s = (r_tile[...].astype(jnp.float32) / zf).astype(jnp.bfloat16)
+    s_pad[:, 1:W + 1, :] = s
+
+    # transposed conv via 9 taps + reweight by x, f32 accumulation
+    acc = jnp.zeros((Th, W, C), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            window = s_pad[dy:dy + Th, dx:dx + W, :]          # (Th, W, C)
+            acc = acc + jax.lax.dot_general(
+                window, k_ref[dy * 3 + dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0] = (x_ref[0].astype(jnp.float32) * acc).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("Th", "interpret"))
+def _fused_call(r_pad, z_pad, x, taps, Th: int, interpret: bool):
+    Wn, Hp, W, C = r_pad.shape
+    H = Hp - 2
+    n_bands = H // Th
+    Wp = (W + 2 + 7) // 8 * 8
+    return pl.pallas_call(
+        functools.partial(_kernel, Th=Th, W=W, C=C, n_bands=n_bands),
+        out_shape=jax.ShapeDtypeStruct((Wn, H, W, C), jnp.bfloat16),
+        grid=(n_bands, Wn),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # r stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # z fully resident
+            pl.BlockSpec((1, Th, W, C), lambda i, w: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),             # x band, reused
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # taps
+        ],
+        out_specs=pl.BlockSpec((1, Th, W, C), lambda i, w: (w, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Th + 2, Wp, C), jnp.bfloat16),
+            pltpu.VMEM((Th + 2, W, C), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Wn * H * W * 9 * C * C,
+            bytes_accessed=2 * Wn * H * W * C * 2 + 4 * H * W * C,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r_pad, z_pad, x, taps)
+
+
+def _kernel_v3(r_hbm, z_ref, x_ref, k_ref, out_ref, s_pad, r_tile, sem, *,
+               Th: int, W: int, C: int, n_bands: int):
+    """v3: r UNPADDED in HBM (edge-aware halo DMA), out unpadded via BlockSpec.
+
+    The chain is fully shape-preserving — no repad pass anywhere. z rides
+    VMEM-resident with pre-padded rows (per-image constant, padded once).
+    """
+    i = pl.program_id(0)
+    w = pl.program_id(1)
+    last = n_bands - 1
+
+    # halo DMA with static shapes per edge case; the uncovered scratch rows
+    # are zeroed (SAME-conv zero padding semantics)
+    @pl.when(jnp.logical_and(i == 0, w == 0))
+    def _():
+        s_pad[...] = jnp.zeros_like(s_pad)
+
+    if n_bands == 1:
+        dma = pltpu.make_async_copy(r_hbm.at[w, pl.ds(0, Th)],
+                                    r_tile.at[pl.ds(1, Th)], sem)
+        dma.start()
+        r_tile[0:1] = jnp.zeros_like(r_tile[0:1])
+        r_tile[Th + 1:Th + 2] = jnp.zeros_like(r_tile[0:1])
+        dma.wait()
+    else:
+        @pl.when(i == 0)
+        def _():
+            dma = pltpu.make_async_copy(r_hbm.at[w, pl.ds(0, Th + 1)],
+                                        r_tile.at[pl.ds(1, Th + 1)], sem)
+            dma.start()
+            r_tile[0:1] = jnp.zeros_like(r_tile[0:1])
+            dma.wait()
+
+        @pl.when(i == last)
+        def _():
+            dma = pltpu.make_async_copy(r_hbm.at[w, pl.ds(i * Th - 1, Th + 1)],
+                                        r_tile.at[pl.ds(0, Th + 1)], sem)
+            dma.start()
+            r_tile[Th + 1:Th + 2] = jnp.zeros_like(r_tile[0:1])
+            dma.wait()
+
+        @pl.when(jnp.logical_and(i > 0, i < last))
+        def _():
+            dma = pltpu.make_async_copy(r_hbm.at[w, pl.ds(i * Th - 1, Th + 2)],
+                                        r_tile, sem)
+            dma.start()
+            dma.wait()
+
+    # s = r / stab(z): z_pad row k == global row k-1, matching r_tile rows
+    z_band = z_ref[0, pl.ds(i * Th, Th + 2)]
+    zf = z_band.astype(jnp.float32)
+    zf = zf + (zf == 0).astype(jnp.float32) * EPS
+    s = (r_tile[...].astype(jnp.float32) / zf).astype(jnp.bfloat16)
+    s_pad[:, 1:W + 1, :] = s
+
+    acc = jnp.zeros((Th, W, C), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            window = s_pad[dy:dy + Th, dx:dx + W, :]
+            acc = acc + jax.lax.dot_general(
+                window, k_ref[dy * 3 + dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0] = (x_ref[0].astype(jnp.float32) * acc).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, static_argnames=("Th", "interpret"))
+def _fused_call_v3(r, z_pad, x, taps, Th: int, interpret: bool):
+    Wn, H, W, C = r.shape
+    n_bands = H // Th
+    Wp = (W + 2 + 7) // 8 * 8
+    return pl.pallas_call(
+        functools.partial(_kernel_v3, Th=Th, W=W, C=C, n_bands=n_bands),
+        out_shape=jax.ShapeDtypeStruct((Wn, H, W, C), jnp.bfloat16),
+        grid=(n_bands, Wn),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # r in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # z_pad resident
+            pl.BlockSpec((1, Th, W, C), lambda i, w: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),             # x band, reused
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # taps
+        ],
+        out_specs=pl.BlockSpec((1, Th, W, C), lambda i, w: (w, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Th + 2, Wp, C), jnp.bfloat16),
+            pltpu.VMEM((Th + 2, W, C), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Wn * H * W * 9 * C * C,
+            bytes_accessed=2 * Wn * H * W * C * 2 + 4 * H * W * C,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r, z_pad, x, taps)
+
+
+def lrp_a1b0_fused(r, x, kernel, bias=None, Th: int = 32, interpret: bool = False,
+                   pack_words: bool = False):
+    """Fused alpha1beta0 backward for one post-ReLU 3x3 SAME conv layer.
+
+    r: (Wn, H, W, C) relevance seeds (bf16 or f32)
+    x: (1, H, W, C) layer input (non-negative, post-ReLU)
+    kernel: (3, 3, C, C); bias: (C,) or None
+    pack_words: lay 2 words side-by-side in the lane dim (C -> 2C) with a
+    block-diagonal tap matrix — used when C == 64 to reach the 128-lane tile.
+    """
+    Wn, H, W, C = r.shape
+    kp = (kernel * (kernel >= 0)).astype(jnp.float32)
+    z = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), kp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        z = z + bias.astype(jnp.float32)
+    kt = jnp.flip(kp, axis=(0, 1)).transpose(0, 1, 3, 2)      # transposed-conv taps
+
+    if pack_words:
+        assert Wn % 2 == 0
+        r = (r.reshape(Wn // 2, 2, H, W, C).transpose(0, 2, 3, 1, 4)
+              .reshape(Wn // 2, H, W, 2 * C))
+        z = jnp.concatenate([z, z], axis=-1)
+        x = jnp.concatenate([x, x], axis=-1)
+        kt_bd = jnp.zeros((3, 3, 2 * C, 2 * C), kt.dtype)
+        kt_bd = kt_bd.at[:, :, :C, :C].set(kt)
+        kt_bd = kt_bd.at[:, :, C:, C:].set(kt)
+        kt = kt_bd
+        Wn, C = Wn // 2, 2 * C
+
+    # halo rows: r zero-padded, z ONE-padded (s halo = 0/1 = 0)
+    r_pad = jnp.pad(r.astype(jnp.bfloat16), ((0, 0), (1, 1), (0, 0), (0, 0)))
+    z_pad = jnp.pad(z.astype(jnp.bfloat16), ((0, 0), (1, 1), (0, 0), (0, 0)),
+                    constant_values=1.0)
+    taps = kt.reshape(9, C, C).astype(jnp.bfloat16)
+    out = _fused_call(r_pad, z_pad, x.astype(jnp.bfloat16), taps, Th, interpret)
+
+    if pack_words:
+        C = C // 2
+        out = (out.reshape(Wn, H, W, 2, C).transpose(0, 3, 1, 2, 4)
+                  .reshape(2 * Wn, H, W, C))
+    return out
+
+
+def reference_chain(r, x, kernel, bias=None):
+    """XLA reference: divide -> convT(vjp) -> reweight (cnn backward rule)."""
+    kp = (kernel * (kernel >= 0)).astype(jnp.float32)
+    z = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32), kp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        z = z + bias.astype(jnp.float32)
+    z = z + (z == 0).astype(z.dtype) * EPS
+    s = r.astype(jnp.float32) / z
+
+    def conv_x(v):
+        return jax.lax.conv_general_dilated(
+            v, kp, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    _, vjp = jax.vjp(conv_x, jnp.zeros_like(jnp.broadcast_to(x, r.shape)))
+    (t,) = vjp(s)
+    return x.astype(jnp.float32) * t
+
+
+def _parity(H=16, Wd=16, C=64, Wn=4, Th=8, interpret=True, pack=False):
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.normal(size=(Wn, H, Wd, C)).astype(np.float32))
+    x = jnp.abs(jnp.asarray(rng.normal(size=(1, H, Wd, C)).astype(np.float32)))
+    k = jnp.asarray(rng.normal(size=(3, 3, C, C)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32)) * 0.01
+    ref = reference_chain(r, x, k, b)
+    got = lrp_a1b0_fused(r, x, k, b, Th=Th, interpret=interpret, pack_words=pack)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)) /
+                (jnp.max(jnp.abs(ref)) + 1e-9))
+    print(f"parity rel-err (pack={pack}): {err:.4f} (bf16 storage tolerance)")
+    assert err < 0.05, err
+    return err
+
+
+def _bench_tpu():
+    import time
+
+    W_, H_, C_ = 20, 224, 64
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.normal(size=(W_, H_, H_, C_)).astype(np.float32)).astype(jnp.bfloat16)
+    x = jnp.abs(jnp.asarray(rng.normal(size=(1, H_, H_, C_)).astype(np.float32)))
+    k = jnp.asarray(rng.normal(size=(3, 3, C_, C_)).astype(np.float32)) * 0.1
+    b = jnp.asarray(rng.normal(size=(C_,)).astype(np.float32)) * 0.01
+
+    def timed(fn, label, iters=5, chain=8):
+        @jax.jit
+        def run(r):
+            def body(c, _):
+                out = fn(c)
+                return out.astype(jnp.bfloat16), ()
+            c, _ = jax.lax.scan(body, r, None, length=chain)
+            return c
+        out = run(r); jax.block_until_ready(out)
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter(); out = run(r); jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        ms = min(ts) / chain * 1e3
+        print(f"{label:42s} {ms:7.3f} ms/chain")
+        return ms
+
+    for th in (16, 28, 32, 56):
+        try:
+            timed(lambda v, th=th: lrp_a1b0_fused(v, x, k, b, Th=th, interpret=False),
+                  f"fused pallas v2 (unpacked, Th={th})")
+        except Exception as e:
+            print(f"Th={th} unpacked FAILED: {type(e).__name__}: {str(e)[:200]}")
+    for th in (16, 28, 32):
+        try:
+            timed(lambda v, th=th: lrp_a1b0_fused(v, x, k, b, Th=th, interpret=False,
+                                                  pack_words=True),
+                  f"fused pallas v2 (packed128, Th={th})")
+        except Exception as e:
+            print(f"Th={th} packed FAILED: {type(e).__name__}: {str(e)[:200]}")
+    timed(lambda v: reference_chain(v, x, k, b), "XLA reference chain")
+
+
+@jax.jit
+def body_xla_once(rp, zf, kt_bd16, x):
+    rr = rp[:, 1:-1]
+    s = (rr.astype(jnp.float32) / zf).astype(jnp.bfloat16)
+    t = jax.lax.conv_general_dilated(
+        s, kt_bd16, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    out = (x.astype(jnp.float32) * t).astype(jnp.bfloat16)
+    return jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+
+def _bench_steady_state():
+    """Kernel vs XLA on IDENTICAL pre-packed layouts — no per-call packing,
+    z precomputed, both chains carry the same row-repad step."""
+    import time
+
+    W_, H_, C_ = 20, 224, 64
+    Wn, C = W_ // 2, 2 * C_
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.normal(size=(Wn, H_, H_, C)).astype(np.float32)).astype(jnp.bfloat16)
+    r_pad = jnp.pad(r, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    x1 = jnp.abs(jnp.asarray(rng.normal(size=(1, H_, H_, C_)).astype(np.float32)))
+    k1 = jnp.asarray(rng.normal(size=(3, 3, C_, C_)).astype(np.float32)) * 0.1
+    b1 = jnp.asarray(rng.normal(size=(C_,)).astype(np.float32)) * 0.01
+
+    kp = k1 * (k1 >= 0)
+    z1 = jax.lax.conv_general_dilated(
+        x1, kp, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")) + b1
+    kt = jnp.flip(kp, axis=(0, 1)).transpose(0, 1, 3, 2)
+    kt_bd = jnp.zeros((3, 3, C, C), jnp.float32)
+    kt_bd = kt_bd.at[:, :, :C_, :C_].set(kt).at[:, :, C_:, C_:].set(kt)
+
+    z = jnp.concatenate([z1, z1], axis=-1)
+    zf = z + (z == 0).astype(z.dtype) * EPS
+    z_pad = jnp.pad(z.astype(jnp.bfloat16), ((0, 0), (1, 1), (0, 0), (0, 0)),
+                    constant_values=1.0)
+    x = jnp.concatenate([x1, x1], axis=-1).astype(jnp.bfloat16)
+    taps = kt_bd.reshape(9, C, C).astype(jnp.bfloat16)
+    kt_bd16 = kt_bd.astype(jnp.bfloat16)
+    zf16 = zf.astype(jnp.bfloat16)
+
+    def timed(body, label, iters=5, chain=8):
+        @jax.jit
+        def run(rp):
+            def f(c, _):
+                return body(c), ()
+            c, _ = jax.lax.scan(f, rp, None, length=chain)
+            return c
+        out = run(r_pad); jax.block_until_ready(out)
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter(); out = run(r_pad); jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        print(f"{label:46s} {min(ts)/chain*1e3:7.3f} ms/chain")
+
+    for th in (16, 28, 32, 56):
+        try:
+            def body(rp, th=th):
+                out = _fused_call(rp, z_pad, x, taps, th, False)
+                return jnp.pad(out, ((0, 0), (1, 1), (0, 0), (0, 0)))
+            timed(body, f"pallas v2 steady-state (packed, Th={th})")
+        except Exception as e:
+            print(f"Th={th} FAILED: {type(e).__name__}: {str(e)[:160]}")
+
+    # v3: unpadded in/out, repad eliminated — the body is one pure kernel call
+    r_unpad = r  # (Wn, H, W, C) bf16
+    def timed_v3(th):
+        import time as _t
+
+        @jax.jit
+        def run(rr):
+            def f(c, _):
+                return _fused_call_v3(c, z_pad, x, taps, th, False), ()
+            c, _ = jax.lax.scan(f, rr, None, length=8)
+            return c
+        out = run(r_unpad); jax.block_until_ready(out)
+        ts = []
+        for _ in range(5):
+            t0 = _t.perf_counter(); out = run(r_unpad); jax.block_until_ready(out)
+            ts.append(_t.perf_counter() - t0)
+        print(f"{'pallas v3 (no repad, packed, Th=%d)' % th:46s} {min(ts)/8*1e3:7.3f} ms/chain")
+
+    for th in (16, 28, 32):
+        try:
+            timed_v3(th)
+        except Exception as e:
+            print(f"v3 Th={th} FAILED: {type(e).__name__}: {str(e)[:160]}")
+
+    # v3 parity vs the XLA packed chain
+    ref = body_xla_once(r_pad, zf, kt_bd16, x)
+    got = _fused_call_v3(r_unpad, z_pad, x, taps, 16, False)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref[:, 1:-1].astype(jnp.float32))) /
+                (jnp.max(jnp.abs(ref)) + 1e-9))
+    print(f"v3 parity rel-err vs packed XLA: {err:.4f}")
+
+    def body_xla(rp):
+        return body_xla_once(rp, zf, kt_bd16, x)
+    timed(body_xla, "XLA same packed layout + repad")
+
+    def body_pad_only(rp):
+        return jnp.pad(rp[:, 1:-1] * jnp.bfloat16(1.0000001),
+                       ((0, 0), (1, 1), (0, 0), (0, 0)))
+    timed(body_pad_only, "repad-only pass (overhead bound)")
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--bench" in sys.argv:
+        try:
+            _parity(interpret=False, pack=False)
+        except Exception as e:  # C=64 lanes cannot be DMA-sliced (Mosaic)
+            print(f"unpacked parity FAILED: {type(e).__name__}: {str(e)[:160]}")
+        _parity(interpret=False, pack=True)
+        _bench_tpu()
+    elif "--bench2" in sys.argv:
+        _bench_steady_state()
+    else:
+        _parity(pack=False)
+        _parity(pack=True)
