@@ -40,7 +40,7 @@ import tempfile
 import warnings
 from collections import Counter, defaultdict
 
-from .ptb import ptb_tokenize
+from .ptb import ptb_tokenize, _java_bin
 
 
 def _tokenize(s: str) -> list[str]:
@@ -236,7 +236,7 @@ class METEOR:
         keys = sorted(id_to_prediction)
         hyps, refs = _pairs(id_to_prediction, id_to_references)
         proc = subprocess.Popen(
-            ["java", "-jar", "-Xmx2G", self._jar, "-", "-", "-stdio", "-l", "en", "-norm"],
+            [_java_bin(), "-jar", "-Xmx2G", self._jar, "-", "-", "-stdio", "-l", "en", "-norm"],
             cwd=os.path.dirname(self._jar),
             stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, bufsize=1,
@@ -349,7 +349,7 @@ class SPICE:
             with open(in_path, "w") as f:
                 json.dump(payload, f)
             subprocess.run(
-                ["java", "-jar", "-Xmx8G", self._jar, in_path,
+                [_java_bin(), "-jar", "-Xmx8G", self._jar, in_path,
                  "-cache", cache, "-out", out_path, "-subset", "-silent"],
                 cwd=os.path.dirname(self._jar), check=True, capture_output=True,
             )

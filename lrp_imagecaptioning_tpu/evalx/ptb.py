@@ -41,6 +41,12 @@ PUNCTUATIONS = frozenset(
 _JAR_ENV = "LRPIC_CORENLP_JAR"
 
 
+def _java_bin() -> str:
+    """Java launcher for the jar paths; ``LRPIC_JAVA`` overrides so tests can
+    substitute a protocol stub (no JRE ships in this environment)."""
+    return os.environ.get("LRPIC_JAVA", "java")
+
+
 def _find_corenlp_jar() -> str | None:
     p = os.environ.get(_JAR_ENV)
     if p and os.path.isfile(p):
@@ -71,7 +77,7 @@ def _jar_tokenize_lines(jar: str, lines: list[str]) -> list[list[str]]:
         path = f.name
     try:
         cmd = [
-            "java", "-cp", jar, "edu.stanford.nlp.process.PTBTokenizer",
+            _java_bin(), "-cp", jar, "edu.stanford.nlp.process.PTBTokenizer",
             "-preserveLines", "-lowerCase", path,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, check=True).stdout
