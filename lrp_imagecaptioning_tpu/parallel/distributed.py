@@ -9,8 +9,8 @@ within a host.
 Layout rule (the scaling-book recipe): put the *data* axis over DCN — its
 gradient ``psum`` is one small all-reduce per step and tolerates DCN latency —
 and keep any *model* axis inside a host so tensor-parallel collectives ride
-ICI. ``make_multihost_mesh`` builds exactly that ordering;
-``mesh_utils.create_hybrid_device_mesh`` handles the physical assignment.
+ICI. ``make_multihost_mesh`` builds exactly that ordering by grouping the
+global device list by owning process.
 
 Data loading is process-local: each host loads only its shard of the global
 batch (``process_batch_slice``) and ``global_batch_from_local`` assembles the
@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import jax
 import numpy as np
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
@@ -69,11 +68,24 @@ def make_multihost_mesh(model_parallel: int = 1, devices=None) -> Mesh:
             raise ValueError(
                 f"model_parallel={model_parallel} exceeds the {local} chips per "
                 f"host — model collectives would cross DCN")
-        arr = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(n // (n_proc * model_parallel), model_parallel),
-            dcn_mesh_shape=(n_proc, 1),
-            devices=devices,
-        )
+        # Group by process so the data axis crosses hosts and the model axis
+        # stays within one. (mesh_utils.create_hybrid_device_mesh is the
+        # multi-SLICE tool — it keys on slice_index, which is absent on a
+        # single pod slice and on CPU — so we build the grouping directly.)
+        by_proc: dict[int, list] = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        if len(by_proc) != n_proc:
+            raise ValueError(
+                f"devices span {len(by_proc)} processes but process_count={n_proc}")
+        rows = []
+        for pi in sorted(by_proc):
+            ds = sorted(by_proc[pi], key=lambda d: d.id)
+            if len(ds) != local:
+                raise ValueError(f"process {pi} owns {len(ds)} devices, expected {local}")
+            rows.append(np.asarray(ds, dtype=object).reshape(
+                local // model_parallel, model_parallel))
+        arr = np.concatenate(rows, axis=0)
     else:
         arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

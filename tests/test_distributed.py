@@ -22,6 +22,93 @@ def test_initialize_single_process_noop():
     assert initialize_distributed() == 1
 
 
+@pytest.mark.slow
+def test_two_process_multihost_training():
+    """REAL multi-process validation of the pod-slice layer: 2 processes x 2
+    virtual CPU devices run the vocab-sharded train step over a (data=2,
+    model=2) hybrid mesh, with the data-axis gradient psum crossing processes
+    (gloo — the DCN role). Loss trajectories must agree across processes and
+    match the single-process 4-device reference."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(here) + os.pathsep + env.get("PYTHONPATH", "")
+    # the worker pins its own JAX_PLATFORMS/XLA_FLAGS; scrub the parent's
+    env.pop("XLA_FLAGS", None)
+
+    outs = [os.path.join(here, f".mh_out_{pid}.json") for pid in range(2)]
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(pid), "2", str(port), outs[pid]],
+                         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True)
+        for pid in range(2)
+    ]
+    logs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            logs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        results = []
+        for o in outs:
+            with open(o) as f:
+                results.append(json.load(f))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for o in outs:
+            if os.path.exists(o):
+                os.unlink(o)
+
+    l0, l1 = results[0]["losses"], results[1]["losses"]
+    assert len(l0) == 3
+    # both processes observe the SAME replicated loss
+    np.testing.assert_array_equal(l0, l1)
+    assert all(np.isfinite(l0))
+    assert l0[2] < l0[0], f"loss did not decrease: {l0}"
+
+    # single-process 4-device reference (same batch, same seeds)
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+    from lrp_imagecaptioning_tpu.train.optimizer import make_optimizer
+    from lrp_imagecaptioning_tpu.train.step import make_sharded_train_step
+
+    mesh = make_mesh(4, model_parallel=2)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
+                       img_feature_dim=512, sentence_length=6, batch_size=8)
+    cap = build_captioner("adaptiveattention", cfg, 32)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-3)
+    opt_state = opt.init(params)
+    step, place = make_sharded_train_step(
+        cap, opt, mesh, shard_vocab=True, params_template=params,
+        opt_state_template=opt_state, donate=False)
+    params, opt_state = place(params, opt_state)
+
+    r = np.random.default_rng(0)
+    images = r.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    caps = r.integers(0, 32, size=(8, 7)).astype(np.int32)
+    y = np.eye(32, dtype=np.float32)[r.integers(0, 32, size=(8, 7))]
+    images, caps, y = shard_batch(mesh, images, caps, y)
+    ref = []
+    for i in range(3):
+        params, opt_state, m = step(params, opt_state, images, caps, y,
+                                    jax.random.PRNGKey(100 + i))
+        ref.append(float(m["loss"]))
+    np.testing.assert_allclose(l0, ref, rtol=2e-5)
+
+
 def test_process_batch_slice_partitions_exactly():
     # mocked 4-process world: slices must tile [0, 32) without overlap
     rows = []
