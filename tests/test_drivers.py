@@ -257,3 +257,58 @@ def test_cli_method_choices_match_engine():
     from lrp_imagecaptioning_tpu.explain.engine import METHODS
 
     assert _METHOD_CHOICES == METHODS
+
+
+def test_caption_grpc_server(rng):
+    """gRPC front-end: npy caption, metadata-selected explain, stats, errors.
+
+    Mirrors test_caption_http_server's assertions over the gRPC transport
+    (generic bytes handlers, infer/grpc_server.py)."""
+    grpc = pytest.importorskip("grpc")
+
+    from lrp_imagecaptioning_tpu.infer import (
+        CaptionGrpcClient, CaptionGrpcServer, CaptionService)
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    svc = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1)
+    svc.warmup(explain=True)
+    srv = CaptionGrpcServer(svc, port=0).start()
+    client = CaptionGrpcClient(f"127.0.0.1:{srv.port}")
+    try:
+        assert client.health() is True
+
+        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        caps_npy = client.caption(imgs)
+        assert len(caps_npy) == 2 and all(isinstance(c, str) for c in caps_npy)
+
+        # JSON request body gives identical captions
+        import json as _json
+        body = _json.dumps({"images": imgs.tolist()}).encode()
+        assert _json.loads(client._caption(body))["captions"] == caps_npy
+
+        # explain: npz payload layout matches the HTTP front-end's
+        z = client.explain(imgs[:1], method="lrp")
+        assert str(z["caption_0"]) == f"{caps_npy[0]} {FakePP.EOS_TOKEN}"
+        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert np.isfinite(z["relevance_maps_0"]).all()
+
+        assert client.stats()["images"] >= 5
+
+        # malformed request -> INVALID_ARGUMENT
+        try:
+            client._caption(b"{}")
+            assert False, "expected INVALID_ARGUMENT"
+        except grpc.RpcError as e:
+            assert e.code() == grpc.StatusCode.INVALID_ARGUMENT
+
+        # queued path returns the same captions (micro-batching coalesces)
+        svc.start_queue(linger_ms=20.0)
+        try:
+            assert client.caption(imgs) == caps_npy
+        finally:
+            svc.stop_queue()
+    finally:
+        client.close()
+        srv.stop()
