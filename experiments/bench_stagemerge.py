@@ -33,13 +33,16 @@ import bench  # noqa: E402  (repo-root bench.py: reuses its stage builder)
 
 
 def timed_loop(fn_iter, iters=10):
-    # warmup (compile)
-    out = fn_iter()
-    jax.block_until_ready(out)
+    """bench.py's method: device-side per-image checksum per iteration,
+    materialized on the host AFTER the loop — block_until_ready alone
+    under-reports through the relay backend."""
+    def checksum(hm):
+        return hm.sum(axis=tuple(range(1, hm.ndim)))
+
+    _ = np.asarray(checksum(fn_iter()))  # warmup (compile)
     t0 = time.perf_counter()
-    checks = [fn_iter() for _ in range(iters)]
-    for c in checks:
-        jax.block_until_ready(c)
+    checks = [checksum(fn_iter()) for _ in range(iters)]
+    _ = [np.asarray(c) for c in checks]
     return (time.perf_counter() - t0) / iters
 
 

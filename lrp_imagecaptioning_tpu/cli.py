@@ -271,9 +271,17 @@ def cmd_serve(args):
           f"explain={args.with_explain})...", flush=True)
     svc.warmup(explain=args.with_explain, method=args.method)
     svc.start_queue(linger_ms=args.linger_ms)
-    server = CaptionHTTPServer(svc, host=args.host, port=args.port).start()
-    print(f"serving on http://{args.host}:{server.port} "
-          f"(POST /caption, /explain; GET /healthz, /stats)", flush=True)
+    if getattr(args, "transport", "http") == "grpc":
+        from .infer.grpc_server import CaptionGrpcServer
+
+        server = CaptionGrpcServer(svc, host=args.host, port=args.port).start()
+        print(f"serving gRPC on {args.host}:{server.port} "
+              f"(/lrpic.CaptionService/{{Caption,Explain,Health,Stats}})",
+              flush=True)
+    else:
+        server = CaptionHTTPServer(svc, host=args.host, port=args.port).start()
+        print(f"serving on http://{args.host}:{server.port} "
+              f"(POST /caption, /explain; GET /healthz, /stats)", flush=True)
     if getattr(args, "serve_seconds", None):
         import time as _time
         _time.sleep(args.serve_seconds)
@@ -354,13 +362,15 @@ def main(argv=None):
     p.add_argument("--max-images", type=int, default=None)
     p.set_defaults(fn=cmd_analyze_words)
 
-    p = sub.add_parser("serve", help="HTTP caption/explanation service (new capability)")
+    p = sub.add_parser("serve", help="HTTP/gRPC caption/explanation service (new capability)")
     _add_common(p)
     p.add_argument("--method", default="lrp",
                    choices=list(_METHOD_CHOICES))
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--transport", default="http", choices=("http", "grpc"),
+                   help="front-end protocol (grpc_server.py generic-bytes service)")
     p.add_argument("--linger-ms", type=float, default=5.0,
                    help="micro-batching window for concurrent requests")
     p.add_argument("--with-explain", action="store_true",

@@ -312,3 +312,50 @@ def test_caption_grpc_server(rng):
     finally:
         client.close()
         srv.stop()
+
+
+@pytest.mark.slow
+def test_cli_serve_grpc_smoke(tmp_path, monkeypatch, rng):
+    """CLI serve --transport grpc: boots the gRPC service on the synthetic
+    dataset, answers a caption request, exits after --serve-seconds."""
+    import threading
+    import time
+
+    pytest.importorskip("grpc")
+    from lrp_imagecaptioning_tpu import cli
+    from lrp_imagecaptioning_tpu.infer import CaptionGrpcClient
+
+    monkeypatch.chdir(tmp_path)
+    orig = cli._build_dataset
+
+    def small(args):
+        cfg, ds = orig(args)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        return cfg, ds
+
+    monkeypatch.setattr(cli, "_build_dataset", small)
+
+    result = {}
+
+    def client():
+        cl = CaptionGrpcClient("127.0.0.1:18924")
+        for _ in range(120):
+            try:
+                if cl.health():
+                    break
+            except Exception:
+                time.sleep(1)
+        imgs = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+        result["captions"] = cl.caption(imgs)
+        cl.close()
+
+    t = threading.Thread(target=client)
+    t.start()
+    cli.main([
+        "serve", "--dataset", "synthetic", "--model", "adaptiveattention",
+        "--batch-size", "2", "--beam-size", "1", "--port", "18924",
+        "--transport", "grpc", "--serve-seconds", "45",
+    ])
+    t.join(timeout=60)
+    assert len(result.get("captions", [])) == 1
+    assert isinstance(result["captions"][0], str)
