@@ -20,6 +20,7 @@ Run: python experiments/bench_stagemerge.py  (on the TPU backend)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (repo-root bench.py: reuses its stage builder)
 

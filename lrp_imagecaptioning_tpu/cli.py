@@ -38,8 +38,20 @@ def _coerce_config_value(cfg, key: str, raw: str):
         return int(raw)
     if isinstance(current, float):
         return float(raw)
-    if isinstance(current, tuple) or (current is None and "," in raw):
+    if isinstance(current, tuple):
         return tuple(int(x) for x in raw.split(","))
+    if current is None:
+        # default None hides the field's type; use the dataclass annotation
+        import dataclasses
+
+        ann = str(next(f.type for f in dataclasses.fields(cfg) if f.name == key))
+        if "tuple" in ann or "Tuple" in ann:
+            vals = tuple(int(x) for x in raw.split(","))
+            return vals * 2 if len(vals) == 1 else vals  # "64" -> (64, 64)
+        if "int" in ann:
+            return int(raw)
+        if "float" in ann:
+            return float(raw)
     return raw
 
 
@@ -265,9 +277,10 @@ def cmd_serve(args):
     provider = DatasetProvider(dataset, cfg)
     captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
     params = _load_params(captioner, args)
+    serve_batch = args.batch_size or cfg.batch_size  # --batch-size defaults None
     svc = CaptionService(captioner, params, provider.caption_preprocessor,
-                         batch_size=args.batch_size, beam_size=args.beam_size)
-    print(f"warming up (batch {args.batch_size}, beam {args.beam_size}, "
+                         batch_size=serve_batch, beam_size=args.beam_size)
+    print(f"warming up (batch {serve_batch}, beam {args.beam_size}, "
           f"explain={args.with_explain})...", flush=True)
     svc.warmup(explain=args.with_explain, method=args.method)
     svc.start_queue(linger_ms=args.linger_ms)

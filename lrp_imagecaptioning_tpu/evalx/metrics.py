@@ -40,18 +40,27 @@ import tempfile
 import warnings
 from collections import Counter, defaultdict
 
-from .ptb import ptb_tokenize, _java_bin
+from .ptb import _find_jar, _java_bin, tokenize_lines
 
 
 def _tokenize(s: str) -> list[str]:
     """PTB tokenization per the reference protocol (metrics.py:22-23)."""
-    return ptb_tokenize(s)
+    return tokenize_lines([s])[0]
 
 
 def _pairs(id_to_prediction, id_to_references):
+    """Tokenize the corpus with the PTB protocol, batched.
+
+    ``tokenize_lines`` uses the CoreNLP jar when present (one subprocess for
+    the whole batch, pycocoevalcap's strategy) and caches per line, so the
+    six scorers calling this over the same corpus tokenize it once."""
     keys = sorted(id_to_prediction)
-    hyps = [_tokenize(id_to_prediction[k][0]["caption"]) for k in keys]
-    refs = [[_tokenize(r["caption"]) for r in id_to_references[k]] for k in keys]
+    hyp_lines = [id_to_prediction[k][0]["caption"] for k in keys]
+    ref_lines = [[r["caption"] for r in id_to_references[k]] for k in keys]
+    toks = tokenize_lines(hyp_lines + [s for rs in ref_lines for s in rs])
+    hyps = toks[: len(hyp_lines)]
+    it = iter(toks[len(hyp_lines):])
+    refs = [[next(it) for _ in rs] for rs in ref_lines]
     return hyps, refs
 
 
@@ -188,15 +197,6 @@ class ROUGE:
                 score = 0.0
             scores.append(score)
         return {"ROUGE_L": sum(scores) / max(len(scores), 1)}
-
-
-def _find_jar(env_var: str, default_name: str) -> str | None:
-    p = os.environ.get(env_var)
-    if p and os.path.isfile(p):
-        return p
-    here = os.path.dirname(os.path.abspath(__file__))
-    cand = os.path.join(here, "jars", default_name)
-    return cand if os.path.isfile(cand) else None
 
 
 class METEOR:

@@ -47,25 +47,57 @@ def _java_bin() -> str:
     return os.environ.get("LRPIC_JAVA", "java")
 
 
-def _find_corenlp_jar() -> str | None:
-    p = os.environ.get(_JAR_ENV)
+def _find_jar(env_var: str, default_name: str) -> str | None:
+    """Jar discovery convention shared by every jar-backed adapter
+    (CoreNLP tokenizer here; METEOR/SPICE in metrics.py): explicit env var
+    first, then ``jars/<name>`` next to this package."""
+    p = os.environ.get(env_var)
     if p and os.path.isfile(p):
         return p
     here = os.path.dirname(os.path.abspath(__file__))
-    cand = os.path.join(here, "jars", "stanford-corenlp-3.4.1.jar")
+    cand = os.path.join(here, "jars", default_name)
     return cand if os.path.isfile(cand) else None
 
 
+def _find_corenlp_jar() -> str | None:
+    return _find_jar(_JAR_ENV, "stanford-corenlp-3.4.1.jar")
+
+
 _nltk_tok = None
+_CONTRACTIONS = ("'s", "'m", "'d", "'ll", "'re", "'ve", "n't")
+
+
+def _lite_tokenize(line: str) -> list[str]:
+    """Dependency-free Penn-Treebank-style fallback when nltk is absent.
+
+    Covers the rules that matter for caption corpora: punctuation split off,
+    contraction suffixes split (``don't -> do n't``), possessives split,
+    parentheses converted to ``-LRB-``/``-RRB-``. Coarser than nltk's full
+    sed-rule port on exotic input, but keeps every metric functional."""
+    import re
+
+    s = line.replace("(", " -LRB- ").replace(")", " -RRB- ")
+    # split off punctuation runs (keep -LRB- style escapes intact)
+    s = re.sub(r"([^\w\s'-])", r" \1 ", s)
+    s = re.sub(r"(?<=\w)(n't)(?=\s|$)", r" \1", s, flags=re.IGNORECASE)
+    s = re.sub(r"(?<=\w)('s|'m|'d|'ll|'re|'ve|')(?=\s|$)", r" \1", s,
+               flags=re.IGNORECASE)
+    return s.split()
 
 
 def _python_tokenize_line(line: str) -> list[str]:
     global _nltk_tok
     if _nltk_tok is None:
-        from nltk.tokenize import TreebankWordTokenizer
+        try:
+            from nltk.tokenize import TreebankWordTokenizer
 
-        _nltk_tok = TreebankWordTokenizer()
-    toks = _nltk_tok.tokenize(line, convert_parentheses=True)
+            _nltk_tok = TreebankWordTokenizer()
+        except ImportError:  # metrics stay functional without nltk
+            _nltk_tok = False
+    if _nltk_tok is False:
+        toks = _lite_tokenize(line)
+    else:
+        toks = _nltk_tok.tokenize(line, convert_parentheses=True)
     return [t for t in (tok.lower() for tok in toks) if t not in PUNCTUATIONS]
 
 
@@ -95,6 +127,33 @@ def ptb_tokenize(s: str) -> list[str]:
     return _python_tokenize_line(s)
 
 
+# line -> tokens memo shared by every scorer; corpus-scale (a few hundred
+# thousand distinct caption strings at COCO size), cleared when it would
+# grow past _CACHE_MAX to bound long-running services.
+_token_cache: dict = {}
+_CACHE_MAX = 1 << 20
+
+
+def tokenize_lines(lines: list) -> list:
+    """Batch PTB tokenization with a line-level cache.
+
+    Uses the CoreNLP jar when one is present (ONE subprocess per batch of
+    uncached lines — pycocoevalcap's own batching strategy), else the Python
+    rules. The cache makes the 6 scorers' repeated tokenization of the same
+    corpus cost one pass (pycocoevalcap instead tokenizes once up front)."""
+    missing = [s for s in dict.fromkeys(lines) if s not in _token_cache]
+    if missing:
+        if len(_token_cache) + len(missing) > _CACHE_MAX:
+            _token_cache.clear()
+        jar = _find_corenlp_jar()
+        if jar is not None:
+            token_lists = _jar_tokenize_lines(jar, missing)
+        else:
+            token_lists = [_python_tokenize_line(s) for s in missing]
+        _token_cache.update(zip(missing, token_lists))
+    return [_token_cache[s] for s in lines]
+
+
 class PTBTokenizer:
     """pycocoevalcap-compatible interface:
     ``tokenize({id: [{'caption': str}, ...]}) -> {id: [str, ...]}`` where each
@@ -113,7 +172,7 @@ class PTBTokenizer:
         if self._jar is not None:
             token_lists = _jar_tokenize_lines(self._jar, lines)
         else:
-            token_lists = [_python_tokenize_line(s) for s in lines]
+            token_lists = tokenize_lines(lines)  # shared cache, Python path
         out: dict = {k: [] for k in keys}
         for k, toks in zip(index, token_lists):
             out[k].append(" ".join(toks))

@@ -17,7 +17,7 @@ import os
 
 import numpy as np
 
-from ..data.images import load_img_array, vgg_preprocess
+from ..data.images import load_img_array
 from ..utils.visualizations import heatmap, postprocess
 from .cnn_gradient import pyramid_expand
 from .engine import Explainer
@@ -95,9 +95,15 @@ def explain_image_file(captioner, params, caption_pp, img_path: str, out_dir: st
                        method: str = "lrp", beam_size: int = 3):
     """Explain one image file end-to-end and render its grids
     (explain_image.py:152-200 analyze_img equivalent)."""
-    size = getattr(captioner.cfg, "image_size", None) or (224, 224)
+    from ..data.images import ImagePreprocessor
+
+    # per-encoder size + normalization (224 caffe-BGR for vgg/resnet, 299
+    # [-1,1] for inception) — same resolution rules as the evaluate path
+    pp = ImagePreprocessor(encoder=captioner.cfg.img_encoder,
+                           image_size=getattr(captioner.cfg, "image_size", None))
+    size = pp._size
     raw = load_img_array(img_path, target_size=tuple(size))
-    x = vgg_preprocess(raw)
+    x = pp.preprocess_images([img_path])[0]
     explainer = Explainer(captioner, params, caption_pp, method=method, beam_size=beam_size)
     explanation = explainer.analyze(x)
     img_filename = os.path.basename(img_path)

@@ -388,6 +388,35 @@ class Explainer:
             (images, tokens_1based),
         )
 
+    def _ensure_batch_programs(self):
+        if not hasattr(self, "_decode_batch"):
+            self._decode_batch = jax.jit(self._decode_batch_impl)
+            self._explain_batch_jit = {}
+
+    def _explain_batch_for(self, bucket: int):
+        fn = self._explain_batch_jit.get(bucket)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._explain_batch_impl, n_words=bucket))
+            self._explain_batch_jit[bucket] = fn
+        return fn
+
+    def warmup(self, images):
+        """Compile the batched decode and EVERY bucketed explain program.
+
+        Serving (infer/serving.py) promises that no request pays
+        tracing/compilation after ``warmup()``; with word-count bucketing a
+        single dummy batch would only compile the bucket its captions land
+        in, so this compiles each bucket size up front (buckets are few and
+        warmup is exactly the time to pay for them)."""
+        images = jnp.asarray(images)
+        self._ensure_batch_programs()
+        tokens, _ = self._decode_batch(self.params, images)
+        toks = jnp.asarray(tokens, jnp.int32)
+        for bucket in (*self._buckets, self._max_len):
+            jax.block_until_ready(
+                self._explain_batch_for(bucket)(self.params, images, toks))
+        return self
+
     def analyze_batch(self, images, tokens_1based=None) -> list:
         """Batched analyze: (B, H, W, 3) images -> list[Explanation].
 
@@ -395,9 +424,7 @@ class Explainer:
         at dataset scale this amortizes the per-call host<->device latency the
         per-image path pays twice per image."""
         images = jnp.asarray(images)
-        if not hasattr(self, "_decode_batch"):
-            self._decode_batch = jax.jit(self._decode_batch_impl)
-            self._explain_batch_jit = {}
+        self._ensure_batch_programs()
         if tokens_1based is None:
             tokens_1based, _ = self._decode_batch(self.params, images)
         toks = jnp.asarray(tokens_1based, jnp.int32)
@@ -406,10 +433,7 @@ class Explainer:
         n_max = max((_n_explained(row, self._pp.EOS_TOKEN_LABEL_ENCODED) for row in toks_np),
                     default=self._max_len)
         bucket = self._bucket_for(n_max)
-        fn = self._explain_batch_jit.get(bucket)
-        if fn is None:
-            fn = jax.jit(functools.partial(self._explain_batch_impl, n_words=bucket))
-            self._explain_batch_jit[bucket] = fn
+        fn = self._explain_batch_for(bucket)
         maps, r_feat, r_words, atts, betas = fn(self.params, images, toks)
         out = []
         eos = self._pp.EOS_TOKEN_LABEL_ENCODED

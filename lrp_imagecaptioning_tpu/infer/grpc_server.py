@@ -114,13 +114,8 @@ class CaptionGrpcServer:
 
     def _caption(self, request: bytes, context) -> bytes:
         images, _ = self._images(request, context)
-        svc = self.service
         try:
-            if svc._queue is not None:
-                captions = [f.result() for f in
-                            [svc.submit(im) for im in images]]
-            else:
-                captions = svc.caption(images)
+            captions = self.service.dispatch(images)
         except Exception as e:
             context.abort(self._grpc.StatusCode.INTERNAL,
                           f"{type(e).__name__}: {e}")
@@ -131,15 +126,9 @@ class CaptionGrpcServer:
         for key, value in context.invocation_metadata():
             if key == "lrpic-method":
                 method = value
-        method = method or "lrp"
-        svc = self.service
         try:
-            if svc._queue is not None:
-                exps = [f.result() for f in
-                        [svc.submit(im, explain=True, method=method)
-                         for im in images]]
-            else:
-                exps = svc.explain(images, method=method)
+            exps = self.service.dispatch(images, explain=True,
+                                         method=method or "lrp")
         except Exception as e:
             context.abort(self._grpc.StatusCode.INTERNAL,
                           f"{type(e).__name__}: {e}")

@@ -77,23 +77,14 @@ class _Handler(BaseHTTPRequestHandler):
         svc = self.server.service
         try:
             if path == "/caption":
-                if svc._queue is not None:
-                    futs = [svc.submit(im) for im in images]
-                    captions = [f.result() for f in futs]
-                else:
-                    captions = svc.caption(images)
+                captions = svc.dispatch(images)
                 return self._json(200, {"captions": captions})
             if path == "/explain":
                 method = "lrp"
                 for kv in query.split("&"):
                     if kv.startswith("method="):
                         method = kv.split("=", 1)[1]
-                if svc._queue is not None:
-                    futs = [svc.submit(im, explain=True, method=method)
-                            for im in images]
-                    exps = [f.result() for f in futs]
-                else:
-                    exps = svc.explain(images, method=method)
+                exps = svc.dispatch(images, explain=True, method=method)
                 out = {}
                 for i, e in enumerate(exps):
                     out[f"caption_{i}"] = np.asarray(e.caption)

@@ -82,13 +82,14 @@ class CaptionService:
         """AOT-compile the decode executable for the service batch shape.
 
         With ``explain=True`` also builds the Explainer and traces/compiles
-        its batched decode+explain programs on a dummy batch, so the first
-        ``explain()`` request pays no compilation either."""
+        its batched decode program and EVERY word-bucketed explain program
+        (``Explainer.warmup``), so the first ``explain()`` request pays no
+        compilation either — whatever bucket its captions land in."""
         size = self._input_size()
         dummy = jnp.zeros((self._B, size, size, 3), jnp.float32)
         self._compiled = self._decode.lower(self.params, dummy).compile()
         if explain:
-            self._get_explainer(method).analyze_batch(dummy)
+            self._get_explainer(method).warmup(dummy)
         return self
 
     def _get_explainer(self, method: str = "lrp"):
@@ -155,6 +156,24 @@ class CaptionService:
         self.stats["images"] += n
         self.stats["latency_ema_s"] = time.perf_counter() - t0
         return result
+
+    def dispatch(self, images: np.ndarray, explain: bool = False,
+                 method: str = "lrp") -> list:
+        """Serve a request through the micro-batching queue when it is
+        running, else directly. The front-ends' (HTTP/gRPC) single entry
+        point: it tolerates ``stop_queue()`` racing the check by falling
+        back to direct dispatch instead of surfacing the transient
+        RuntimeError to the caller."""
+        if self._queue is not None:
+            try:
+                futs = [self.submit(im, explain=explain, method=method)
+                        for im in images]
+                return [f.result() for f in futs]
+            except RuntimeError:  # queue stopped between check and submit
+                pass
+        if explain:
+            return self.explain(images, method=method)
+        return self.caption(images)
 
     # -- micro-batching queue ----------------------------------------------
 

@@ -186,3 +186,22 @@ def test_word_bucketing_batch_uses_longest_caption(rng):
     # per-image path agrees with the batch path
     single = ex.analyze(images[1], tokens_1based=tokens[1])
     np.testing.assert_allclose(out[1].relevance_maps, single.relevance_maps, atol=1e-5)
+
+
+def test_explainer_warmup_compiles_every_bucket(rng):
+    """Explainer.warmup pre-builds each bucketed batch program, so serving
+    requests never pay tracing/compilation whatever bucket their captions
+    land in (CaptionService.warmup guarantee)."""
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, FakePP(), method="lrp", word_buckets=(2, 4))
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ex.warmup(images)
+    assert set(ex._explain_batch_jit) == {2, 4, CFG.sentence_length}
+    # a request landing in any bucket dispatches the precompiled program
+    n_compiled = len(ex._explain_batch_jit)
+    ex.analyze_batch(images)
+    assert len(ex._explain_batch_jit) == n_compiled

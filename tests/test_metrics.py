@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from lrp_imagecaptioning_tpu.evalx.metrics import BLEU, CIDEr, METEOR, ROUGE
 from lrp_imagecaptioning_tpu.evalx.words import frequent_object_map
 
@@ -97,3 +99,43 @@ def test_word_stats_pickle_roundtrip(tmp_path):
     p = str(tmp_path / "out" / "flickr30K_beta_analyze_category_top9.pkl")
     dump_word_stats(stats, p)
     assert load_word_stats(p) == stats
+
+
+def test_lite_tokenizer_tracks_nltk_on_caption_text():
+    """The dependency-free fallback (_lite_tokenize) matches the nltk
+    Treebank path on ordinary caption sentences, so metrics stay functional
+    (and close) without nltk installed."""
+    from lrp_imagecaptioning_tpu.evalx import ptb
+
+    nltk = pytest.importorskip("nltk")  # noqa: F841 comparison needs it
+    for s in [
+        "A man riding a horse on the beach.",
+        "Two dogs don't chase the ball (quickly).",
+        "The player's bat hits a ball, then he runs.",
+    ]:
+        lite = [t for t in (x.lower() for x in ptb._lite_tokenize(s))
+                if t not in ptb.PUNCTUATIONS]
+        assert lite == ptb._python_tokenize_line(s)
+
+
+def test_tokenize_lines_caches_and_dedupes(monkeypatch):
+    """tokenize_lines tokenizes each distinct line once across calls."""
+    from lrp_imagecaptioning_tpu.evalx import ptb
+
+    calls = []
+    real = ptb._python_tokenize_line
+
+    def counting(line):
+        calls.append(line)
+        return real(line)
+
+    monkeypatch.setattr(ptb, "_python_tokenize_line", counting)
+    ptb._token_cache.clear()
+    try:
+        out = ptb.tokenize_lines(["a cat sits", "a dog runs", "a cat sits"])
+        assert out[0] == out[2] == ["a", "cat", "sits"]
+        assert calls == ["a cat sits", "a dog runs"]
+        ptb.tokenize_lines(["a cat sits"])  # second call: pure cache hit
+        assert len(calls) == 2
+    finally:
+        ptb._token_cache.clear()
