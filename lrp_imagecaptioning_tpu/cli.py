@@ -278,8 +278,14 @@ def cmd_serve(args):
     captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
     params = _load_params(captioner, args)
     serve_batch = args.batch_size or cfg.batch_size  # --batch-size defaults None
+    mesh = None
+    if getattr(args, "mesh", 0) and args.mesh > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
     svc = CaptionService(captioner, params, provider.caption_preprocessor,
-                         batch_size=serve_batch, beam_size=args.beam_size)
+                         batch_size=serve_batch, beam_size=args.beam_size,
+                         mesh=mesh)
     print(f"warming up (batch {serve_batch}, beam {args.beam_size}, "
           f"explain={args.with_explain})...", flush=True)
     svc.warmup(explain=args.with_explain, method=args.method)
@@ -384,6 +390,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--transport", default="http", choices=("http", "grpc"),
                    help="front-end protocol (grpc_server.py generic-bytes service)")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard request batches over an N-device data-parallel mesh")
     p.add_argument("--linger-ms", type=float, default=5.0,
                    help="micro-batching window for concurrent requests")
     p.add_argument("--with-explain", action="store_true",

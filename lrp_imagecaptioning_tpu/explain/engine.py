@@ -108,11 +108,19 @@ class Explainer:
     """
 
     def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None,
-                 storage_dtype=None, word_buckets=(4, 8, 12, 16)):
+                 storage_dtype=None, word_buckets=(4, 8, 12, 16), mesh=None):
         """``storage_dtype=jnp.bfloat16`` holds the VGG-LRP backward's
         activations/relevances in bf16 — the production throughput mode
         (+12% measured; heatmap deviation ~0.9% of map scale, see
         cnn_lrp.py). Default f32 for exactness.
+
+        ``mesh``: a ``parallel.make_mesh`` device mesh. The batched programs
+        (``analyze_batch`` / ``warmup``) then shard the request batch over
+        the mesh's data axis — params replicated, per-image work local to
+        each device via ``shard_map`` (a plain jitted ``lax.map`` over a
+        sharded axis would gather the batch onto every device). Batch sizes
+        must be divisible by the data-axis size; the per-image ``analyze``
+        path stays single-device.
 
         ``word_buckets``: static word-count buckets for the explain program.
         The decoded caption's real length picks the smallest bucket that
@@ -141,6 +149,11 @@ class Explainer:
         self._sg_noise = 0.125 if captioner.cfg.img_encoder == "inception_v3" else 16.0
         self._noise_seed = 0
         self._storage_dtype = storage_dtype
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicated
+
+            self.params = jax.device_put(self.params, replicated(mesh))
         self._decode = jax.jit(self._decode_impl)
         # bucketed explain programs, compiled per word-count on first use;
         # the full-length program is always available as bucket T.
@@ -390,13 +403,36 @@ class Explainer:
 
     def _ensure_batch_programs(self):
         if not hasattr(self, "_decode_batch"):
-            self._decode_batch = jax.jit(self._decode_batch_impl)
+            if self._mesh is not None:
+                from ..parallel import batch_sharding, replicated
+
+                self._decode_batch = jax.jit(
+                    self._decode_batch_impl,
+                    in_shardings=(replicated(self._mesh),
+                                  batch_sharding(self._mesh)))
+            else:
+                self._decode_batch = jax.jit(self._decode_batch_impl)
             self._explain_batch_jit = {}
 
     def _explain_batch_for(self, bucket: int):
         fn = self._explain_batch_jit.get(bucket)
         if fn is None:
-            fn = jax.jit(functools.partial(self._explain_batch_impl, n_words=bucket))
+            body = functools.partial(self._explain_batch_impl, n_words=bucket)
+            if self._mesh is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import DATA_AXIS
+
+                # shard_map: each device runs the per-image lax.map over its
+                # LOCAL batch shard (bench.py's sharded CNN stage pattern)
+                fn = jax.jit(jax.shard_map(
+                    body, mesh=self._mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                ))
+            else:
+                fn = jax.jit(body)
             self._explain_batch_jit[bucket] = fn
         return fn
 

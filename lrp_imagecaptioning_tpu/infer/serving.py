@@ -37,9 +37,23 @@ class CaptionService:
 
     def __init__(self, captioner, params, caption_pp, batch_size: int = 8,
                  beam_size: int = 3, max_len: int | None = None,
-                 compute_dtype=None, storage_dtype=None):
+                 compute_dtype=None, storage_dtype=None, mesh=None):
+        """``mesh``: a ``parallel.make_mesh`` device mesh — requests then
+        shard over the mesh's data axis (params replicated), scaling serving
+        throughput across chips with the same padded-batch contract.
+        ``batch_size`` must be divisible by the mesh's data-axis size."""
         self.captioner = captioner
         self.params = params
+        self._mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicated
+
+            n_data = mesh.shape[mesh.axis_names[0]]
+            if batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh "
+                    f"data-axis size {n_data}")
+            self.params = jax.device_put(params, replicated(mesh))
         self._pp = caption_pp
         self._B = batch_size
         self._beam = beam_size
@@ -66,7 +80,13 @@ class CaptionService:
                 scores = jnp.zeros((tokens.shape[0],))
             return tokens, scores
 
-        self._decode = jax.jit(decode)
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated
+
+            self._decode = jax.jit(
+                decode, in_shardings=(replicated(mesh), batch_sharding(mesh)))
+        else:
+            self._decode = jax.jit(decode)
         self._compiled = None
         self._explainer = None
         self._queue = None
@@ -99,7 +119,7 @@ class CaptionService:
             self._explainer = Explainer(
                 self.captioner, self.params, self._pp, method=method,
                 beam_size=self._beam, max_len=self._T,
-                storage_dtype=self._storage_dtype,
+                storage_dtype=self._storage_dtype, mesh=self._mesh,
             )
         return self._explainer
 

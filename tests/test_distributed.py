@@ -226,3 +226,42 @@ def test_sharded_step_keeps_opt_state_sharded(rng):
                  if "embedding" in jax.tree_util.keystr(kp) and hasattr(leaf, "sharding")]
     assert emb_specs, "no embedding moments found in opt state"
     assert any(spec == P("model", None) for spec in emb_specs), emb_specs
+
+
+def test_mesh_sharded_serving_matches_single_device(rng):
+    """CaptionService(mesh=...) / Explainer(mesh=...): request batches shard
+    over the data axis; captions must be identical and heatmaps allclose to
+    the single-device service."""
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, 17)}
+
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
+                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cap = build_captioner("adaptiveattention", cfg, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+
+    single = CaptionService(cap, params, PP(), batch_size=8, beam_size=1)
+    mesh = make_mesh(8)
+    sharded = CaptionService(cap, params, PP(), batch_size=8, beam_size=1,
+                             mesh=mesh)
+    assert sharded.caption(images) == single.caption(images)
+
+    exp_s = single.explain(images)
+    exp_m = sharded.explain(images)
+    for a, b in zip(exp_s, exp_m):
+        assert a.caption == b.caption
+        np.testing.assert_allclose(b.relevance_maps, a.relevance_maps,
+                                   rtol=2e-4, atol=2e-6)
+
+    # batch not divisible by the data axis is rejected up front
+    with pytest.raises(ValueError):
+        CaptionService(cap, params, PP(), batch_size=6, mesh=mesh)
