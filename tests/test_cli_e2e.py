@@ -145,3 +145,33 @@ def test_full_reference_workflow(corpus, tmp_path, monkeypatch, capsys):
     t.join(timeout=60)
     assert len(result.get("captions", [])) == 1
     assert isinstance(result["captions"][0], str)
+
+
+def _common_model(root, model):
+    args = _common(root)
+    args[args.index("adaptiveattention")] = model
+    return args
+
+
+@pytest.mark.parametrize("model", ["gridTD", "aoa"])
+def test_other_decoders_train_evaluate(corpus, tmp_path, monkeypatch, model):
+    """The reference's other decoder families through the same CLI workflow:
+    train one epoch on the mini-Flickr30k fixture, then beam-evaluate from
+    the produced checkpoint (train.py MODELTYPE registry parity; AOA is the
+    reference's dead code made to work)."""
+    monkeypatch.chdir(tmp_path)
+    root = corpus
+
+    cli.main(["train", *_common_model(root, model), "--label", f"e2e-{model}",
+              "--epochs", "1"])
+    ckpts = sorted(glob.glob(
+        f"results/flickr30k/training-results/e2e-{model}/ckpt_*"))
+    assert ckpts, f"{model} train left no checkpoint"
+
+    cli.main([
+        "evaluate", *_common_model(root, model), "--weights", ckpts[-1],
+        "--beam-size", "2", "--out", f"eval-{model}",
+    ])
+    with open(f"eval-{model}/test-metrics.yaml") as f:
+        metrics = yaml.safe_load(f)
+    assert "Bleu_1" in metrics and np.isfinite(metrics["Bleu_1"])
