@@ -1,0 +1,152 @@
+"""Natural-caption-length workload: batch-max vs length-grouped bucketing.
+
+The headline bench (bench.py) explains all T=20 positions per image — the
+fixed-work configuration. On real data captions average ~10 words, and the
+Explainer's word-count bucketing (engine.py) scales the CNN backward (91% of
+the pipeline, BASELINE.md per-stage split) with the real length. But
+``analyze_batch`` buckets by the LONGEST caption in the batch: at production
+batch 56 a single long caption drags all 56 images onto the full-length
+program, so the measured per-image bucket win (1.39-1.84x,
+experiments/bench_buckets.py) mostly evaporates. ``analyze_many`` fixes this
+by grouping images by their own caption-length bucket and dispatching each
+group on its own program.
+
+This experiment measures both dispatch policies on the SAME synthetic
+natural-length workload (lengths ~ clip(round(N(10,3)), 4, 20) — Flickr30k
+captions average ~10-12 words) at the production configuration (224x224,
+V=7003, batch 56, bf16 storage), timing device-side exactly like bench.py
+(per-image checksums fetched after the loop).
+
+The timed region covers the explain program (decoder-LRP + CNN-LRP); the
+caption stage (28.2 ms/batch, identical for all policies, BASELINE.md
+per-stage split) is excluded.
+
+Result (v5e 1 chip, 224 images, batch 56, 3 timed passes, lengths mean 10.1):
+    fixed T=20 (headline-bench policy) :  93.3 img/s
+    batch-max  (analyze_batch policy)  : 108.9 img/s   (1.17x)
+    length-sorted (analyze_many)       : 124.1 img/s   (1.33x)
+The 1.33x matches the per-bucket cost model from experiments/bench_buckets.py
+(sorted chunk buckets ~[8,12,12,20] -> mean 7.5 ms/img vs 10.06 at W=20).
+batch-max recovers only part of the win because one >=17-word caption in a
+56-image batch (odds ~50% per batch at these lengths) drags the whole batch
+onto the T=20 program.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 56
+N_IMAGES = 224
+VOCAB = 7003
+T = 20
+BUCKETS = (4, 8, 12, 16)
+
+
+def main():
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer, _n_explained
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+
+    cfg = FlickrConfig(sentence_length=T)
+    cap = build_captioner("adaptiveattention", cfg, VOCAB)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = cap.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+
+    ex = Explainer(cap, params, PP(), method="lrp", max_len=T,
+                   storage_dtype=jnp.bfloat16, word_buckets=BUCKETS)
+    ex.params = params
+    ex._ensure_batch_programs()
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(N_IMAGES, 224, 224, 3)).astype(np.float32))
+
+    # natural caption lengths: Flickr30k/COCO captions average ~10-12 words
+    lengths = np.clip(np.round(rng.normal(10.0, 3.0, size=N_IMAGES)), 4, T).astype(int)
+    toks = np.zeros((N_IMAGES, T), np.int32)
+    for i, ln in enumerate(lengths):
+        toks[i, :ln] = rng.integers(3, VOCAB, size=ln)
+        if ln < T:
+            toks[i, ln] = PP.EOS_TOKEN_LABEL_ENCODED
+    toks_j = jnp.asarray(toks)
+
+    def checksum(maps):
+        return maps.sum(axis=tuple(range(1, maps.ndim)))
+
+    # --- the two dispatch policies, device-side ---------------------------
+    def run_batch_max():
+        """analyze_batch semantics: bucket by the longest caption per batch."""
+        checks = []
+        for i in range(0, N_IMAGES, BATCH):
+            rows = toks[i:i + BATCH]
+            n_max = max(_n_explained(r, PP.EOS_TOKEN_LABEL_ENCODED) for r in rows)
+            fn = ex._explain_batch_for(ex._bucket_for(n_max))
+            maps, *_ = fn(params, images[i:i + BATCH], toks_j[i:i + BATCH])
+            checks.append(checksum(maps))
+        return checks
+
+    n_words = np.asarray(
+        [_n_explained(r, PP.EOS_TOKEN_LABEL_ENCODED) for r in toks])
+    order = np.argsort(n_words, kind="stable")
+    # pre-gather the sorted chunks once (host-side indexing is not the policy
+    # under test; production analyze_many gathers on device per chunk)
+    sorted_chunks = []
+    for i in range(0, N_IMAGES, BATCH):
+        sel = order[i:i + BATCH]
+        bk = ex._bucket_for(int(n_words[sel].max()))
+        sorted_chunks.append((bk, jnp.asarray(images[sel]), toks_j[sel]))
+
+    def run_sorted():
+        """analyze_many semantics: sort by caption length, chunk, bucket each
+        full chunk by its LOCAL maximum (no per-bucket padding waste)."""
+        checks = []
+        for bk, img_chunk, tok_chunk in sorted_chunks:
+            fn = ex._explain_batch_for(bk)
+            maps, *_ = fn(params, img_chunk, tok_chunk)
+            checks.append(checksum(maps))
+        return checks
+
+    def run_fixed_T():
+        """the headline bench's fixed-work policy: all T positions always."""
+        checks = []
+        fn = ex._explain_batch_for(T)
+        for i in range(0, N_IMAGES, BATCH):
+            maps, *_ = fn(params, images[i:i + BATCH], toks_j[i:i + BATCH])
+            checks.append(checksum(maps))
+        return checks
+
+    results = {}
+    for name, fn in [("fixed_T20", run_fixed_T), ("batch_max", run_batch_max),
+                     ("length_sorted", run_sorted)]:
+        _ = [np.asarray(c) for c in fn()]  # compile + warmup
+        iters = 3
+        t0 = time.perf_counter()
+        all_checks = [fn() for _ in range(iters)]
+        _ = [[np.asarray(c) for c in cs] for cs in all_checks]
+        dt = time.perf_counter() - t0
+        # grouped pads the tail chunk per bucket: count real images only
+        img_s = N_IMAGES * iters / dt
+        results[name] = round(img_s, 2)
+        print(f"{name:16s}: {img_s:7.2f} img/s (explain stage)", flush=True)
+
+    speedup = results["length_sorted"] / results["batch_max"]
+    print(json.dumps({"explain_img_per_s": results,
+                      "sorted_vs_batchmax": round(speedup, 3),
+                      "lengths_mean": float(lengths.mean())}))
+
+
+if __name__ == "__main__":
+    main()

@@ -85,6 +85,10 @@ def collect_word_stats(explainer, provider, id_to_prediction: dict, category_lis
     n = 0
     for _ in range(provider.test_steps):
         (cap_in, imgs), y, data = next(gen)
+        # gather the qualifying images of this provider batch, then explain
+        # them in one length-sorted batched dispatch (analyze_many) instead
+        # of two host<->device round trips per image
+        pending = []
         for img, datum in zip(imgs, data):
             fname = datum.img_filename
             if fname in seen or fname not in id_to_prediction:
@@ -96,7 +100,16 @@ def collect_word_stats(explainer, provider, id_to_prediction: dict, category_lis
             hits = [(c, i) for c, i in hits if i is not None]
             if not hits:
                 continue
-            explanation = explainer.analyze(img)
+            pending.append((img, fname, predict_caption, datum, hits))
+        if not pending:
+            continue
+        if max_images:
+            pending = pending[: max_images - n]
+        explanations = explainer.analyze_many(
+            np.stack([p[0] for p in pending]),
+            batch_size=min(provider.batch_size, len(pending)))
+        for (img, fname, predict_caption, datum, hits), explanation in zip(
+                pending, explanations):
             entry = save.setdefault(fname, {
                 "predict_caption": predict_caption,
                 "true_captions": list(datum.all_captions_txt),

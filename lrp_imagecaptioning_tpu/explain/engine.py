@@ -470,27 +470,84 @@ class Explainer:
                     default=self._max_len)
         bucket = self._bucket_for(n_max)
         fn = self._explain_batch_for(bucket)
-        maps, r_feat, r_words, atts, betas = fn(self.params, images, toks)
-        out = []
+        outs = fn(self.params, images, toks)
+        return [self._assemble(toks_np, outs, b) for b in range(images.shape[0])]
+
+    def _assemble(self, toks_np, outs, b) -> Explanation:
+        """Build one Explanation from row ``b`` of a batched explain output."""
+        maps, r_feat, r_words, atts, betas = outs
         eos = self._pp.EOS_TOKEN_LABEL_ENCODED
-        for b in range(images.shape[0]):
-            words, keep = [], []
-            for t, tok in enumerate(toks_np[b]):
-                if tok == 0 or tok == eos:
-                    break
-                words.append(self._pp.word_of[int(tok)])
-                keep.append(t)
-            keep = np.asarray(keep, np.int64)
-            out.append(Explanation(
-                caption=" ".join(words + [self._pp.EOS_TOKEN]),
-                words=words,
-                tokens_1based=toks_np[b],
-                relevance_maps=np.asarray(maps[b])[keep],
-                feat_relevance=np.asarray(r_feat[b])[keep],
-                attentions=np.asarray(atts[b])[keep],
-                word_relevances=np.asarray(r_words[b])[keep],
-                betas=np.asarray(betas[b])[keep],
-            ))
+        words, keep = [], []
+        for t, tok in enumerate(toks_np[b]):
+            if tok == 0 or tok == eos:
+                break
+            words.append(self._pp.word_of[int(tok)])
+            keep.append(t)
+        keep = np.asarray(keep, np.int64)
+        return Explanation(
+            caption=" ".join(words + [self._pp.EOS_TOKEN]),
+            words=words,
+            tokens_1based=toks_np[b],
+            relevance_maps=np.asarray(maps[b])[keep],
+            feat_relevance=np.asarray(r_feat[b])[keep],
+            attentions=np.asarray(atts[b])[keep],
+            word_relevances=np.asarray(r_words[b])[keep],
+            betas=np.asarray(betas[b])[keep],
+        )
+
+    def analyze_many(self, images, tokens_1based=None, batch_size=None) -> list:
+        """Dataset-scale analyze with length-sorted bucket dispatch.
+
+        ``analyze_batch`` buckets by the LONGEST caption in the batch, so at
+        production batch sizes one long caption drags the whole batch onto
+        the full-length program (with 56 natural-length captions the chance
+        that all fit a small bucket is negligible). This path decodes all
+        images first, SORTS them by caption length, and dispatches contiguous
+        same-size chunks, each on the bucket of its own (local) maximum —
+        chunks stay full (no per-bucket padding waste) while their members
+        have near-equal lengths, so the CNN backward (~91% of the pipeline,
+        BASELINE.md) scales with each image's REAL caption length instead of
+        the padded maximum the reference always pays (explainers.py:183-189
+        loops every beam position). Results come back in input order.
+
+        ``batch_size``: chunk size for every dispatch (decode and explain);
+        defaults to ``len(images)`` capped at 32. Only the single final
+        short chunk is padded (each program compiles once per bucket).
+        """
+        images = jnp.asarray(images)
+        n = images.shape[0]
+        if n == 0:
+            return []
+        B = batch_size if batch_size is not None else min(n, 32)
+        self._ensure_batch_programs()
+
+        def pad_to(arr, k):
+            if arr.shape[0] == k:
+                return arr
+            return jnp.concatenate([arr] + [arr[-1:]] * (k - arr.shape[0]))
+
+        if tokens_1based is None:
+            tok_chunks = []
+            for i in range(0, n, B):
+                chunk = pad_to(images[i:i + B], B)
+                toks, _ = self._decode_batch(self.params, chunk)
+                tok_chunks.append(np.asarray(toks)[: min(B, n - i)])
+            toks_np = np.concatenate(tok_chunks, axis=0)
+        else:
+            toks_np = np.asarray(tokens_1based)
+        toks = jnp.asarray(toks_np, jnp.int32)
+
+        eos = self._pp.EOS_TOKEN_LABEL_ENCODED
+        n_words = np.asarray([_n_explained(row, eos) for row in toks_np])
+        order = np.argsort(n_words, kind="stable")
+
+        out = [None] * n
+        for i in range(0, n, B):
+            sel = order[i:i + B]
+            fn = self._explain_batch_for(self._bucket_for(int(n_words[sel].max())))
+            outs = fn(self.params, pad_to(images[sel], B), pad_to(toks[sel], B))
+            for j, b in enumerate(sel):
+                out[int(b)] = self._assemble(toks_np[sel], outs, j)
         return out
 
     # -- public API --------------------------------------------------------

@@ -171,7 +171,18 @@ class CaptionService:
             batch = np.concatenate([images, pad], axis=0)
         else:
             batch = images
-        result = self._get_explainer(method).analyze_batch(jnp.asarray(batch))[:n]
+        ex = self._get_explainer(method)
+        batch = jnp.asarray(batch)
+        ex._ensure_batch_programs()
+        toks, _ = ex._decode_batch(ex.params, batch)
+        toks = np.asarray(toks).copy()
+        if n < self._B:
+            # pad rows must not widen the word-count bucket: a zero image
+            # still decodes to SOME caption, and one long junk caption drags
+            # the whole batch onto the full-length program
+            toks[n:] = 0
+            toks[n:, 0] = self._pp.EOS_TOKEN_LABEL_ENCODED
+        result = ex.analyze_batch(batch, tokens_1based=toks)[:n]
         self.stats["requests"] += 1
         self.stats["images"] += n
         self.stats["latency_ema_s"] = time.perf_counter() - t0

@@ -205,3 +205,42 @@ def test_explainer_warmup_compiles_every_bucket(rng):
     n_compiled = len(ex._explain_batch_jit)
     ex.analyze_batch(images)
     assert len(ex._explain_batch_jit) == n_compiled
+
+
+def test_analyze_many_groups_by_length_and_matches_per_image(rng):
+    """analyze_many dispatches each image on ITS caption-length bucket (not
+    the batch max), pads short chunks, and returns results in input order
+    bit-matching the per-image path."""
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.normal(size=(5, 32, 32, 3)).astype(np.float32))
+    tokens = np.array([
+        [5, 2, 0, 0, 0],      # 1 word  -> bucket 2
+        [5, 7, 6, 2, 0],      # 3 words -> bucket 4
+        [5, 7, 2, 0, 0],      # 2 words -> bucket 2
+        [5, 7, 6, 8, 3],      # 5 words (no EOS) -> full T
+        [6, 2, 0, 0, 0],      # 1 word  -> bucket 2
+    ], np.int32)
+
+    ex = Explainer(cap, params, FakePP(), method="lrp", word_buckets=(2, 4))
+    out = ex.analyze_many(images, tokens_1based=tokens, batch_size=2)
+    # one program per bucket actually used — NOT just the batch max
+    assert sorted(ex._explain_batch_jit) == [2, 4, CFG.sentence_length]
+    assert [len(e.words) for e in out] == [1, 3, 2, 5, 1]
+    for b in range(5):
+        single = ex.analyze(images[b], tokens_1based=tokens[b])
+        assert single.words == out[b].words
+        np.testing.assert_allclose(
+            single.relevance_maps, out[b].relevance_maps, rtol=1e-4, atol=1e-5)
+
+
+def test_analyze_many_decodes_when_tokens_absent(rng):
+    """Without given tokens analyze_many beam-decodes in chunks first and its
+    captions match analyze_batch's."""
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    ex = Explainer(cap, params, FakePP(), method="lrp", beam_size=2)
+    many = ex.analyze_many(images, batch_size=2)
+    batch = ex.analyze_batch(images)
+    assert [e.caption for e in many] == [e.caption for e in batch]
