@@ -196,8 +196,11 @@ def evaluate_dataset(explainer, provider, category_dict: dict, out_json: str,
         # word bucket instead of once per annotated-subset size, and each
         # chunk's CNN backward scales with its captions' real length
         batch = np.stack([imgs[i] for i, _ in annotated])
+        # fixed chunk size even for small subsets: one compile per word
+        # bucket (padding a sparse batch costs ms; a new shape costs a
+        # 10-40s compile on the remote-compile path)
         explanations = explainer.analyze_many(
-            batch, batch_size=min(provider.batch_size, len(batch)))
+            batch, batch_size=provider.batch_size)
         for (i, datum), explanation in zip(annotated, explanations):
             lrp_s, att_s, keys = ev.evaluate(imgs[i], datum.img_filename, explanation=explanation)
             results[datum.img_filename] = {

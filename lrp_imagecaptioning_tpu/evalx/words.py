@@ -107,7 +107,7 @@ def collect_word_stats(explainer, provider, id_to_prediction: dict, category_lis
             pending = pending[: max_images - n]
         explanations = explainer.analyze_many(
             np.stack([p[0] for p in pending]),
-            batch_size=min(provider.batch_size, len(pending)))
+            batch_size=provider.batch_size)
         for (img, fname, predict_caption, datum, hits), explanation in zip(
                 pending, explanations):
             entry = save.setdefault(fname, {

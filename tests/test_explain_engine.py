@@ -244,3 +244,20 @@ def test_analyze_many_decodes_when_tokens_absent(rng):
     many = ex.analyze_many(images, batch_size=2)
     batch = ex.analyze_batch(images)
     assert [e.caption for e in many] == [e.caption for e in batch]
+
+
+def test_analyze_many_gridtd(rng):
+    """analyze_many is decoder-agnostic: gridTD through the same sorted
+    dispatch, padded final chunk (batch_size > n) included."""
+    cap = build_captioner("gridTD", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    images = jnp.asarray(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    tokens = np.array([[5, 2, 0, 0, 0],
+                       [5, 7, 6, 2, 0],
+                       [4, 2, 0, 0, 0]], np.int32)
+    ex = Explainer(cap, params, FakePP(), method="lrp", word_buckets=(2, 4))
+    out = ex.analyze_many(images, tokens_1based=tokens, batch_size=4)
+    assert [len(e.words) for e in out] == [1, 3, 1]
+    single = ex.analyze(images[1], tokens_1based=tokens[1])
+    np.testing.assert_allclose(
+        out[1].relevance_maps, single.relevance_maps, rtol=1e-4, atol=1e-5)
