@@ -1,0 +1,95 @@
+"""LRP-inference finetune step: all-T vs valid-position-gathered backward.
+
+The reference's LRP-inference layer explains only non-stop, pre-EOS predicted
+words (model.py:2035-2049) — typically 5-8 of the padded T=20 — while the
+round-1 step paid the per-word decoder+CNN backward for every position and
+masked afterwards. ``lrp_weights(max_words=W)`` gathers the first W valid
+positions and runs the backward only for those (exact whenever a sample has
+<= W valid words; see tests/test_train.py).
+
+Measures the full jitted finetune-step program (predict -> LRP weights ->
+dual-loss grad step) at the north-star config (adaptive 512-dim, batch 8,
+T=20, V=7003, 224x224) with natural-ish predicted captions (random weights
+predict arbitrary tokens; the stop table marks none, so `valid` runs to the
+predicted EOS — with random weights effectively all T. To isolate the
+program-cost effect of W this bench therefore reports program wall time at
+max_words in {None, 12, 8}; on real data W=12 is exact for ~all samples).
+
+Timing: independent dispatches (same params each call, losses fetched after
+the loop) — BASELINE.md's 113 ms/step protocol, which measures program
+execution time rather than the relay's chained-dispatch stalls (chained
+singles measure ~2.7-2.9 s/step at this config regardless of W).
+
+Result (v5e 1 chip, 2026-08-17):
+    max_words=None : 110.1 ms/step ( 72.7 img/s)   — matches the recorded 113
+    max_words=12   :  81.6 ms/step ( 98.1 img/s)   1.35x
+    max_words=8    :  60.0 ms/step (133.4 img/s)   1.83x
+W=12 is exact (bit-identical weights) whenever every sample has <= 12
+non-stop pre-EOS words — ~always on natural captions with the NLTK stop
+list. The north-star finetune config therefore runs 1.35x faster at
+reference-exact semantics, 1.83x with the tighter cap.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+VOCAB = 7003
+T = 20
+
+
+def main():
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import make_lrp_finetune_step
+    from lrp_imagecaptioning_tpu.train.optimizer import make_optimizer
+
+    cfg = FlickrConfig(sentence_length=T)
+    cap = build_captioner("adaptiveattention", cfg, VOCAB)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        params = cap.init_params(jax.random.PRNGKey(0))
+    params = jax.device_put(params, jax.devices()[0])
+    opt = make_optimizer("adaptiveattention", 1e-6)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(BATCH, 224, 224, 3)).astype(np.float32))
+    caps_in = jnp.asarray(rng.integers(0, VOCAB, size=(BATCH, T + 1)), jnp.int32)
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, VOCAB, size=(BATCH, T + 1))), VOCAB)
+    stop_table = np.zeros(VOCAB + 1, bool)
+
+    results = {}
+    for W in (None, 12, 8):
+        step = make_lrp_finetune_step(cap, opt, stop_table, sos_1based=1,
+                                      eos_1based=2, donate=False, max_words=W)
+        opt_state = opt.init(params)
+        # compile + warmup
+        p2, opt_state2, m = step(params, opt_state, images, caps_in, y, jax.random.PRNGKey(1))
+        _ = float(m["loss"])
+        # INDEPENDENT dispatches (BASELINE.md's 113 ms/step protocol): feed
+        # the same params each call so launches pipeline through the relay
+        # and the per-step time is the program's execution time
+        iters = 10
+        losses = []
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _, _, m = step(params, opt_state, images, caps_in, y,
+                           jax.random.PRNGKey(i))
+            losses.append(m["loss"])
+        _ = [float(l) for l in losses]
+        dt = time.perf_counter() - t0
+        ms = dt / iters * 1000
+        results[f"W={W}"] = round(ms, 1)
+        print(f"max_words={W}: {ms:.1f} ms/step ({BATCH / (ms / 1000):.1f} img/s)",
+              flush=True)
+
+    print(json.dumps({"ms_per_step": results, "batch": BATCH}))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,7 +131,8 @@ def cmd_finetune_lrp(args):
     params = _load_params(captioner, args)
     tuner = LRPFinetuner(captioner, params, provider, mode=args.lrp_mode,
                          learning_rate=args.learning_rate or 1e-6,
-                         steps_per_call=args.steps_per_call)
+                         steps_per_call=args.steps_per_call,
+                         max_explained_words=args.max_explained_words)
     # reference drives 50 chunks x 10 iterations (train.py:696-716)
     for save_idx in range(args.start_chunk, args.chunks):
         m = tuner.run(save_idx, args.epoch_length, result_dir=args.out or "results/lrp-finetune")
@@ -341,6 +342,11 @@ def main(argv=None):
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="finetune steps per device dispatch (lax.scan over "
                         "stacked batches; amortizes dispatch latency)")
+    p.add_argument("--max-explained-words", type=int, default=None,
+                   dest="max_explained_words",
+                   help="run the per-word LRP backward for at most this many "
+                        "non-stop pre-EOS positions per sample (the reference "
+                        "explains only those words; default: all positions)")
     p.add_argument("--out", default=None)
     p.set_defaults(fn=cmd_finetune_lrp)
 

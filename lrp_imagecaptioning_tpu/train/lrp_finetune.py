@@ -72,11 +72,22 @@ def _score(hp, mode: str):
 
 
 def lrp_weights(captioner, params, images, y_pred_logits, stop_table, sos_1based: int,
-                eos_1based: int, mode: str = "mean"):
+                eos_1based: int, mode: str = "mean", max_words: int | None = None):
     """(B,T,V) relevance weights, fully on device.
 
     images: (B,224,224,3) preprocessed; y_pred_logits: (B,T,V) teacher-forced
     predictions; stop_table: (V+1,) bool (True = stop word).
+
+    ``max_words``: explain at most this many positions per sample. The
+    reference only runs LRP for non-stop, pre-EOS predicted words
+    (model.py:2035-2049 skips STOP_WORDS and breaks at EOS) — typically
+    5-8 of the padded T=20 — while the all-positions program pays the CNN
+    backward (the dominant cost) for every position and masks afterwards.
+    With ``max_words=W`` the first W valid positions are gathered and only
+    those W seeds run the decoder+CNN backward; any valid word beyond W
+    keeps weight 1.0 (no relevance bonus). Exact vs the default whenever a
+    sample has <= W valid words. ``None`` = all T positions (round-1
+    behavior, always exact).
     """
     cap = captioner
     cfg = cap.cfg
@@ -102,38 +113,55 @@ def lrp_weights(captioner, params, images, y_pred_logits, stop_table, sos_1based
 
     g = int(round(float(np.sqrt(cfg.img_feature_length))))
 
-    # decoder backward vmapped over (B, T) in one shot — it is tiny
-    def per_b(consts, caches, words0):
-        def dec_word(t, w0):
-            r_feat, _, _ = backward(params["decoder"], consts, caches, t, w0, T)
-            return r_feat
-
-        return jax.vmap(dec_word)(jnp.arange(T), words0)
-
-    words0_bt = jnp.maximum(caption1 - 1, 0).astype(jnp.int32)
-    caches_tb = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), caches_b)  # (B,T,...)
-    r_feat_bt = jax.vmap(per_b)(consts_b, caches_tb, words0_bt)          # (B,T,L,D)
-
-    # CNN LRP: per sample, all T words batched against one shared forward;
-    # lax.map over samples keeps peak memory ~ one image's backward.
-    def cnn_one(args):
-        image, seeds = args
-        maps = vgg_lrp_preset_a_wordbatched(
-            params["vgg"], image[None], seeds, cfg.img_encoder, cfg.layer_name
-        )  # (T,224,224,3)
-        hp = maps.mean(axis=-1)                                       # channel mean (model.py:1679)
-        hp = jax.vmap(_project)(hp)
-        return jax.vmap(lambda h: _score(h, mode))(hp)                # (T,)
-
-    seeds_bt = r_feat_bt.reshape(B, T, g, g, cfg.img_feature_dim)
-    scores = jax.lax.map(cnn_one, (images, seeds_bt))                 # (B,T)
-
     # masks: stop words skipped; EOS and everything after it skipped
     is_stop = stop_table[caption1]
     is_eos = caption1 == eos_1based
     seen_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) > 0       # True at and after EOS
-    valid = (~is_stop) & (~seen_eos)
-    scores = jnp.where(valid, scores, 0.0)
+    valid = (~is_stop) & (~seen_eos)                                  # (B,T)
+
+    words0_bt = jnp.maximum(caption1 - 1, 0).astype(jnp.int32)
+    caches_tb = jax.tree.map(lambda x: jnp.moveaxis(x, 1, 0), caches_b)  # (B,T,...)
+
+    if max_words is not None and max_words < T:
+        # gather the first `max_words` VALID positions per sample (stable
+        # argsort keeps time order); only those seeds run the backward
+        W = max_words
+        pos = jnp.argsort(~valid, axis=1, stable=True)[:, :W]         # (B,W)
+        pos_valid = jnp.take_along_axis(valid, pos, axis=1)           # (B,W)
+    else:
+        W = T
+        pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+        pos_valid = valid
+    words_sel = jnp.take_along_axis(words0_bt, pos, axis=1)           # (B,W)
+
+    # decoder backward vmapped over (B, W) in one shot — it is tiny
+    def per_b(consts, caches, pos_row, words_row):
+        def dec_word(t, w0):
+            r_feat, _, _ = backward(params["decoder"], consts, caches, t, w0, T)
+            return r_feat
+
+        return jax.vmap(dec_word)(pos_row, words_row)
+
+    r_feat_bw = jax.vmap(per_b)(consts_b, caches_tb, pos, words_sel)  # (B,W,L,D)
+
+    # CNN LRP: per sample, the selected words batched against one shared
+    # forward; lax.map over samples keeps peak memory ~ one image's backward.
+    def cnn_one(args):
+        image, seeds = args
+        maps = vgg_lrp_preset_a_wordbatched(
+            params["vgg"], image[None], seeds, cfg.img_encoder, cfg.layer_name
+        )  # (W,224,224,3)
+        hp = maps.mean(axis=-1)                                       # channel mean (model.py:1679)
+        hp = jax.vmap(_project)(hp)
+        return jax.vmap(lambda h: _score(h, mode))(hp)                # (W,)
+
+    seeds_bw = r_feat_bw.reshape(B, W, g, g, cfg.img_feature_dim)
+    scores_w = jax.lax.map(cnn_one, (images, seeds_bw))               # (B,W)
+    scores_w = jnp.where(pos_valid, scores_w, 0.0)
+
+    # scatter back onto the (B,T) timeline (positions are unique per row)
+    scores = jnp.zeros((B, T), scores_w.dtype).at[
+        jnp.arange(B)[:, None], pos].add(scores_w)
 
     onehot = jax.nn.one_hot(words0_bt, V, dtype=scores.dtype)         # (B,T,V)
     return 1.0 + onehot * scores[:, :, None]
@@ -149,7 +177,7 @@ def dual_loss(logits, lrp_weight, y_onehot):
 
 
 def _finetune_body(captioner, optimizer, stop_table, sos_1based: int, eos_1based: int,
-                   mode: str):
+                   mode: str, max_words: int | None = None):
     """The ONE finetune-step body shared by the single, multi (scan) and
     sharded factories: predict -> LRP weights -> dual-loss grad step."""
     stop_t = jnp.asarray(stop_table)
@@ -161,7 +189,8 @@ def _finetune_body(captioner, optimizer, stop_table, sos_1based: int, eos_1based
         y_pred = captioner.forward_train(params, images, captions_in, None)
         # step 2+3: relevance weights, no gradient flow
         w = jax.lax.stop_gradient(
-            lrp_weights(captioner, params, images, y_pred, stop_t, sos_1based, eos_1based, mode)
+            lrp_weights(captioner, params, images, y_pred, stop_t, sos_1based,
+                        eos_1based, mode, max_words=max_words)
         )
 
         def loss(p):
@@ -177,9 +206,11 @@ def _finetune_body(captioner, optimizer, stop_table, sos_1based: int, eos_1based
 
 
 def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eos_1based: int,
-                           mode: str = "mean", donate: bool = True):
+                           mode: str = "mean", donate: bool = True,
+                           max_words: int | None = None):
     """One jitted program: predict -> LRP weights -> dual-loss grad step."""
-    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode,
+                         max_words=max_words)
 
     def step(params, opt_state, images, captions_in, y_onehot, rng):
         (params, opt_state), m = one((params, opt_state), (images, captions_in, y_onehot, rng))
@@ -190,7 +221,8 @@ def make_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int, eo
 
 
 def make_multi_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: int,
-                                 eos_1based: int, mode: str = "mean", donate: bool = True):
+                                 eos_1based: int, mode: str = "mean", donate: bool = True,
+                                 max_words: int | None = None):
     """K finetune steps in ONE dispatch (``lax.scan`` over K stacked batches).
 
     Same dispatch-amortization rationale as ``train/step.py::
@@ -198,7 +230,8 @@ def make_multi_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: i
     dispatches pay a full host round trip per step; scanning K batches pays
     it once per K. Semantically identical to K chained single steps.
     -> (params, opt_state, metrics with (K,)-stacked values)."""
-    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode,
+                         max_words=max_words)
 
     def multi_step(params, opt_state, images, captions_in, y_onehot, rngs):
         (params, opt_state), metrics = jax.lax.scan(
@@ -211,7 +244,8 @@ def make_multi_lrp_finetune_step(captioner, optimizer, stop_table, sos_1based: i
 
 
 def make_sharded_lrp_finetune_step(captioner, optimizer, mesh, stop_table, sos_1based: int,
-                                   eos_1based: int, mode: str = "mean", donate: bool = True):
+                                   eos_1based: int, mode: str = "mean", donate: bool = True,
+                                   max_words: int | None = None):
     """Data-parallel LRP-inference finetuning over a device mesh — the
     north-star config (BASELINE.json): the batch (images/captions/labels)
     shards over the data axis, so each device runs forward-predict +
@@ -219,7 +253,8 @@ def make_sharded_lrp_finetune_step(captioner, optimizer, mesh, stop_table, sos_1
     ICI psum for the gradients."""
     from ..parallel import batch_sharding, replicated
 
-    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode,
+                         max_words=max_words)
     data_s = batch_sharding(mesh)
     rep = replicated(mesh)
 
@@ -238,14 +273,16 @@ def make_sharded_lrp_finetune_step(captioner, optimizer, mesh, stop_table, sos_1
 
 def make_sharded_multi_lrp_finetune_step(captioner, optimizer, mesh, stop_table,
                                          sos_1based: int, eos_1based: int,
-                                         mode: str = "mean", donate: bool = True):
+                                         mode: str = "mean", donate: bool = True,
+                                         max_words: int | None = None):
     """K sharded finetune steps in ONE dispatch: ``lax.scan`` over (K, B, ...)
     stacks with the batch axis sharded over data — dispatch amortization and
     data parallelism combined. Semantically identical to K chained sharded
     single steps."""
     from ..parallel import replicated, stacked_batch_sharding
 
-    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode)
+    one = _finetune_body(captioner, optimizer, stop_table, sos_1based, eos_1based, mode,
+                         max_words=max_words)
     stack_s = stacked_batch_sharding(mesh)
     rep = replicated(mesh)
 
@@ -274,7 +311,8 @@ class LRPFinetuner:
 
     def __init__(self, captioner, params, provider, mode: str = "mean",
                  learning_rate: float = 1e-6, seed: int = 0,
-                 steps_per_call: int = 1, mesh=None):
+                 steps_per_call: int = 1, mesh=None,
+                 max_explained_words: int | None = None):
         from .optimizer import make_optimizer
 
         self.captioner = captioner
@@ -287,6 +325,7 @@ class LRPFinetuner:
         stop_table = stop_word_table(pp)
         step_args = (captioner, self.optimizer, stop_table,
                      pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode)
+        step_kw = {"max_words": max_explained_words}
         # steps_per_call > 1: scan K batches per dispatch (dispatch-latency
         # amortization, see make_multi_lrp_finetune_step)
         self._steps_per_call = max(int(steps_per_call), 1)
@@ -295,21 +334,23 @@ class LRPFinetuner:
 
             self._step = make_sharded_lrp_finetune_step(
                 captioner, self.optimizer, mesh, stop_table,
-                pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode
+                pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode,
+                **step_kw
             )
             self._multi_step = (
                 make_sharded_multi_lrp_finetune_step(
                     captioner, self.optimizer, mesh, stop_table,
-                    pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode
+                    pp.SOS_TOKEN_LABEL_ENCODED, pp.EOS_TOKEN_LABEL_ENCODED, mode,
+                    **step_kw
                 ) if self._steps_per_call > 1 else None
             )
             rep = replicated(mesh)
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)
         else:
-            self._step = make_lrp_finetune_step(*step_args)
+            self._step = make_lrp_finetune_step(*step_args, **step_kw)
             self._multi_step = (
-                make_multi_lrp_finetune_step(*step_args)
+                make_multi_lrp_finetune_step(*step_args, **step_kw)
                 if self._steps_per_call > 1 else None
             )
         self._rng = jax.random.PRNGKey(seed)

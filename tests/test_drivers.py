@@ -359,3 +359,41 @@ def test_cli_serve_grpc_smoke(tmp_path, monkeypatch, rng):
     t.join(timeout=60)
     assert len(result.get("captions", [])) == 1
     assert isinstance(result["captions"][0], str)
+
+
+def test_collect_word_stats_batched(tmp_path, monkeypatch, rng):
+    """collect_word_stats gathers per-category-word beta / mean-LRP /
+    mean-attention stats through the batched analyze_many dispatch
+    (exaimin_word.py:371-460 semantics)."""
+    monkeypatch.chdir(tmp_path)
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.data.provider import DatasetProvider
+    from lrp_imagecaptioning_tpu.evalx.words import collect_word_stats
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cfg = CFG.replace(rare_words_handling="nothing", image_size=(64, 64),
+                      img_feature_length=16, batch_size=2)
+    ds = SyntheticDataset(cfg, n_train=4, n_val=2, n_test=4,
+                          cache_dir=str(tmp_path / "imgs"))
+    provider = DatasetProvider(ds, cfg)
+    cap = build_captioner("adaptiveattention", cfg, provider.vocab_size)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    ex = Explainer(cap, params, provider.caption_preprocessor, method="lrp",
+                   beam_size=2, word_buckets=(2,))
+
+    # predictions containing known category words, keyed by test filenames
+    cats = ["dog", "cat"]
+    id_to_pred = {d.img_filename: f"a dog near a cat"
+                  for d in ds.test_set}
+    stats = collect_word_stats(ex, provider, id_to_pred, cats, max_images=3)
+    assert 0 < len(stats) <= 3
+    for fname, entry in stats.items():
+        assert entry["predict_caption"] == "a dog near a cat"
+        recorded = {c for c, _ in entry["beta"]}
+        # word positions beyond the decoded caption are skipped (idx >= W),
+        # so recorded is a subset of the hits
+        assert recorded <= {"dog", "cat"}
+        for key in ("beta", "lrp_mean", "attention_mean"):
+            for _, v in entry[key]:
+                assert np.isfinite(v)

@@ -428,3 +428,52 @@ def test_sharded_multi_lrp_finetune_matches_chained(rng):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         p, pm,
     )
+
+
+def test_lrp_weights_max_words_exact_when_covering(rng):
+    """max_words=W gathers only the valid positions; when every sample has
+    <= W valid (non-stop, pre-EOS) words the weights BIT-match the
+    all-positions program, and truncation only drops the bonus beyond W."""
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import lrp_weights
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    B, T = 2, 5
+    images = jnp.asarray(rng.normal(size=(B, 32, 32, 3)).astype(np.float32))
+    # sample 0: valid at t=0 only (stop at t=1, EOS at t=2);
+    # sample 1: valid at t=0,1 (EOS at t=2)
+    caption0 = np.array([[3, 5, 2, 7, 8], [4, 6, 2, 10, 9]]) - 1
+    logits = np.zeros((B, T, VOCAB), np.float32)
+    for b in range(B):
+        for t in range(T):
+            logits[b, t, caption0[b, t]] = 5.0
+    stop_table = np.zeros(VOCAB + 1, bool)
+    stop_table[5] = True
+
+    args = (cap, params, images, jnp.asarray(logits), jnp.asarray(stop_table))
+    full = np.asarray(lrp_weights(*args, sos_1based=1, eos_1based=2))
+    capped = np.asarray(lrp_weights(*args, sos_1based=1, eos_1based=2, max_words=2))
+    np.testing.assert_array_equal(full, capped)
+
+    # W=1 truncates sample 1's second valid word to weight 1.0 (no bonus),
+    # leaves everything else identical
+    w1 = np.asarray(lrp_weights(*args, sos_1based=1, eos_1based=2, max_words=1))
+    np.testing.assert_array_equal(w1[0], full[0])
+    np.testing.assert_array_equal(w1[1, 0], full[1, 0])
+    assert (w1[1, 1] == 1.0).all() and full[1, 1, caption0[1, 1]] != 1.0
+
+
+def test_lrp_finetune_step_max_words(rng):
+    """The capped step runs end-to-end and moves the params."""
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import make_lrp_finetune_step
+
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    opt = make_optimizer("adaptiveattention", 1e-5)
+    opt_state = opt.init(params)
+    stop_table = np.zeros(VOCAB + 1, bool)
+    step = make_lrp_finetune_step(cap, opt, stop_table, sos_1based=1, eos_1based=2,
+                                  donate=False, max_words=3)
+    images, caps, y = _batch(rng)
+    params2, _, m = step(params, opt_state, images, caps, y, jax.random.PRNGKey(7))
+    assert np.isfinite(float(m["loss"]))
