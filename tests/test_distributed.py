@@ -265,3 +265,41 @@ def test_mesh_sharded_serving_matches_single_device(rng):
     # batch not divisible by the data axis is rejected up front
     with pytest.raises(ValueError):
         CaptionService(cap, params, PP(), batch_size=6, mesh=mesh)
+
+
+def test_mesh_analyze_many_matches_single_device(rng):
+    """Explainer.analyze_many over a mesh: length-sorted chunks dispatch the
+    shard_map bucket programs (chunks padded to the mesh-divisible batch
+    size); results must match the single-device path in input order."""
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, 17)}
+
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
+                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cap = build_captioner("adaptiveattention", cfg, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    images = rng.normal(size=(10, 32, 32, 3)).astype(np.float32)
+    tokens = np.zeros((10, 5), np.int32)
+    for b in range(10):  # varied lengths -> several buckets
+        ln = 1 + b % 4
+        tokens[b, :ln] = 5 + np.arange(ln)
+        if ln < 5:
+            tokens[b, ln] = 2
+
+    plain = Explainer(cap, params, PP(), method="lrp", word_buckets=(2, 4))
+    sharded = Explainer(cap, params, PP(), method="lrp", word_buckets=(2, 4),
+                        mesh=make_mesh(8))
+    a = plain.analyze_many(images, tokens_1based=tokens, batch_size=8)
+    b = sharded.analyze_many(images, tokens_1based=tokens, batch_size=8)
+    for ea, eb in zip(a, b):
+        assert ea.words == eb.words
+        np.testing.assert_allclose(eb.relevance_maps, ea.relevance_maps,
+                                   rtol=2e-4, atol=2e-6)
