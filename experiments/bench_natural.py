@@ -68,7 +68,6 @@ def main():
 
     ex = Explainer(cap, params, PP(), method="lrp", max_len=T,
                    storage_dtype=jnp.bfloat16, word_buckets=BUCKETS)
-    ex.params = params
     ex._ensure_batch_programs()
 
     rng = np.random.default_rng(0)

@@ -511,14 +511,23 @@ class Explainer:
         loops every beam position). Results come back in input order.
 
         ``batch_size``: chunk size for every dispatch (decode and explain);
-        defaults to ``len(images)`` capped at 32. Only the single final
-        short chunk is padded (each program compiles once per bucket).
+        defaults to ``len(images)`` capped at 32, rounded up to a multiple
+        of the mesh's data-axis size when a mesh is set (shard_map programs
+        need mesh-divisible batches). Only short chunks are padded (each
+        program compiles once per bucket).
         """
         images = jnp.asarray(images)
         n = images.shape[0]
         if n == 0:
             return []
         B = batch_size if batch_size is not None else min(n, 32)
+        if self._mesh is not None:
+            n_data = self._mesh.shape[self._mesh.axis_names[0]]
+            if batch_size is not None and B % n_data:
+                raise ValueError(
+                    f"batch_size {B} not divisible by the mesh data-axis "
+                    f"size {n_data}")
+            B = -(-B // n_data) * n_data
         self._ensure_batch_programs()
 
         def pad_to(arr, k):
@@ -546,8 +555,9 @@ class Explainer:
             sel = order[i:i + B]
             fn = self._explain_batch_for(self._bucket_for(int(n_words[sel].max())))
             outs = fn(self.params, pad_to(images[sel], B), pad_to(toks[sel], B))
+            chunk_toks = toks_np[sel]
             for j, b in enumerate(sel):
-                out[int(b)] = self._assemble(toks_np[sel], outs, j)
+                out[int(b)] = self._assemble(chunk_toks, outs, j)
         return out
 
     # -- public API --------------------------------------------------------

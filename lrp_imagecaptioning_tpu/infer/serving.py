@@ -160,29 +160,12 @@ class CaptionService:
         ``warmup(explain=True)``) each request is two device dispatches.
         """
         n = images.shape[0]
-        if n > self._B:
-            out = []
-            for i in range(0, n, self._B):
-                out += self.explain(images[i : i + self._B], method=method)
-            return out
         t0 = time.perf_counter()
-        if n < self._B:
-            pad = np.zeros((self._B - n, *images.shape[1:]), images.dtype)
-            batch = np.concatenate([images, pad], axis=0)
-        else:
-            batch = images
-        ex = self._get_explainer(method)
-        batch = jnp.asarray(batch)
-        ex._ensure_batch_programs()
-        toks, _ = ex._decode_batch(ex.params, batch)
-        toks = np.asarray(toks).copy()
-        if n < self._B:
-            # pad rows must not widen the word-count bucket: a zero image
-            # still decodes to SOME caption, and one long junk caption drags
-            # the whole batch onto the full-length program
-            toks[n:] = 0
-            toks[n:, 0] = self._pp.EOS_TOKEN_LABEL_ENCODED
-        result = ex.analyze_batch(batch, tokens_1based=toks)[:n]
+        # analyze_many chunks at the compiled batch size, pads short chunks
+        # by repeating a REAL row (so pad captions can never widen the
+        # word-count bucket), and length-sorts multi-chunk requests
+        result = self._get_explainer(method).analyze_many(
+            images, batch_size=self._B)
         self.stats["requests"] += 1
         self.stats["images"] += n
         self.stats["latency_ema_s"] = time.perf_counter() - t0

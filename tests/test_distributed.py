@@ -303,3 +303,10 @@ def test_mesh_analyze_many_matches_single_device(rng):
         assert ea.words == eb.words
         np.testing.assert_allclose(eb.relevance_maps, ea.relevance_maps,
                                    rtol=2e-4, atol=2e-6)
+
+    # default batch size stays mesh-divisible (reuses the compiled B=8
+    # programs here); an explicitly indivisible one is rejected up front
+    c = sharded.analyze_many(images[:8], tokens_1based=tokens[:8])
+    assert [e.words for e in c] == [e.words for e in b[:8]]
+    with pytest.raises(ValueError):
+        sharded.analyze_many(images, tokens_1based=tokens, batch_size=3)
