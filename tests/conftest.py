@@ -18,9 +18,28 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compile cache: the suite is compile-dominated (tiny tensors,
 # big programs), and the cache works on CPU — repeat runs skip ~90% of the
-# wall-clock. Safe to share across workers; keyed by HLO hash.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("LRPIC_TEST_CACHE", "/tmp/lrpic_jax_cache"))
+# wall-clock. Safe to share across workers; keyed by HLO hash. The cache dir
+# is additionally keyed by a host-CPU fingerprint: XLA:CPU AOT artifacts
+# record the compile machine's features and only WARN on mismatch at load
+# ("could lead to execution errors such as SIGILL") — this VM migrates
+# between hosts with different feature sets, and executing a stale foreign
+# cache produced a one-off numerical flake in an equality test.
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        return "nohost"
+
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("LRPIC_TEST_CACHE", f"/tmp/lrpic_jax_cache_{_cpu_fingerprint()}"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
