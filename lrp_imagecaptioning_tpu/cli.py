@@ -317,6 +317,12 @@ def cmd_serve(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="lrp_imagecaptioning_tpu")
+    ap.add_argument("--jax-cache", default=None, metavar="DIR",
+                    help="persistent XLA compile cache directory (first run "
+                         "populates it; later runs skip recompilation — "
+                         "cuts serve/evaluate startup from minutes to "
+                         "seconds). Opt-in: it can stall under some "
+                         "remote-compile PJRT backends")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("train", help="train a captioner (train.py main_attention parity)")
@@ -407,6 +413,11 @@ def main(argv=None):
     p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
+    if args.jax_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     args.fn(args)
 
 
