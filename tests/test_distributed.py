@@ -45,6 +45,11 @@ def test_two_process_multihost_training():
     env["PYTHONPATH"] = os.path.dirname(here) + os.pathsep + env.get("PYTHONPATH", "")
     # the worker pins its own JAX_PLATFORMS/XLA_FLAGS; scrub the parent's
     env.pop("XLA_FLAGS", None)
+    # share the session's host-fingerprinted compile cache (conftest.py) so
+    # the worker never executes a foreign host's AOT artifacts
+    import jax
+
+    env["LRPIC_TEST_CACHE"] = jax.config.jax_compilation_cache_dir
 
     outs = [os.path.join(here, f".mh_out_{pid}.json") for pid in range(2)]
     procs = [
