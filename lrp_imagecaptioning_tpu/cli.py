@@ -266,6 +266,26 @@ def _load_params(captioner, args):
     return params
 
 
+def cmd_export_serving(args):
+    """Package the compiled decode (+ optional explain) programs as a
+    portable StableHLO serving artifact (infer/export.py) — loadable with
+    jax+numpy alone, no model/config/tokenizer code."""
+    from .data.provider import DatasetProvider
+    from .infer.export import export_serving
+    from .models.captioner import build_captioner
+
+    cfg, dataset = _build_dataset(args)
+    provider = DatasetProvider(dataset, cfg)
+    captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+    params = _load_params(captioner, args)
+    out = export_serving(
+        captioner, params, provider.caption_preprocessor, args.out,
+        batch_size=args.batch_size or cfg.batch_size, beam_size=args.beam_size,
+        method=args.method if args.with_explain else None,
+    )
+    print(f"exported serving artifact to {out}")
+
+
 def cmd_serve(args):
     """Production serving: warmed CaptionService + micro-batching queue behind
     the stdlib HTTP front-end (no reference analog — new deployment surface)."""
@@ -411,6 +431,17 @@ def main(argv=None):
     p.add_argument("--serve-seconds", type=float, default=None,
                    help="exit after N seconds (tests/smoke); default: run forever")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("export-serving",
+                       help="package compiled decode/explain programs as a "
+                            "portable StableHLO artifact (infer/export.py)")
+    _add_common(p)
+    p.add_argument("--method", default="lrp", choices=list(_METHOD_CHOICES))
+    p.add_argument("--beam-size", type=int, default=3)
+    p.add_argument("--with-explain", action="store_true",
+                   help="also export the bucketed explain programs")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_export_serving)
 
     args = ap.parse_args(argv)
     if args.jax_cache:

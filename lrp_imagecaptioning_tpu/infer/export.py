@@ -1,0 +1,212 @@
+"""Deployable serving artifacts via ``jax.export`` (serialized StableHLO).
+
+The reference's only deployment artifact is a Keras HDF5 weight file that
+needs the full model-building code (and Keras 2.2.4) to run. This module
+packages the COMPILED programs instead — the batched beam-decode program and
+(optionally) the bucketed explain programs — as portable StableHLO blobs
+plus a flat ``params.npz`` and a json with the tokenizer surface. Loading
+needs only jax + numpy: no model classes, no config system, no tokenizer
+fitting; the artifact pins shapes/semantics at export time, so a serving
+fleet cannot drift from the evaluated model.
+
+Layout of an export directory::
+
+    decode.jexport          batched beam decode: (params, (B,H,W,3)) -> tokens
+    explain_w{W}.jexport    per word-bucket explain programs (optional)
+    params.npz              flat param export (train/checkpoint.py layout)
+    meta.json               vocab id->word, SOS/EOS ids, shapes, buckets
+
+``jax.export`` serializes with version guarantees (StableHLO forward
+compatibility), runs on any backend at load time, and embeds nothing
+device-specific — the same artifact serves on CPU for tests and TPU in
+production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+_DECODE = "decode.jexport"
+_META = "meta.json"
+_PARAMS = "params.npz"
+
+
+def export_serving(captioner, params, caption_pp, out_dir: str, *,
+                   batch_size: int = 8, beam_size: int = 3,
+                   max_len: int | None = None, method: str | None = None,
+                   word_buckets=(4, 8, 12, 16)) -> str:
+    """Write a self-contained serving artifact directory.
+
+    ``method``: also export the bucketed explain programs for this
+    explanation method (e.g. ``"lrp"``) — one program per word bucket plus
+    the full length, mirroring ``Explainer.warmup``'s compile set.
+    """
+    from jax import export as jex
+    import jax.numpy as jnp
+
+    from ..infer.beam import beam_search
+    from ..train.checkpoint import save_params_npz
+
+    T = max_len or captioner.cfg.sentence_length
+    sos = caption_pp.SOS_TOKEN_LABEL_ENCODED
+    eos = caption_pp.EOS_TOKEN_LABEL_ENCODED
+    size = getattr(captioner.cfg, "image_size", None) or (224, 224)
+    if captioner.cfg.img_encoder == "inception_v3" and size == (224, 224):
+        size = (299, 299)
+
+    os.makedirs(out_dir, exist_ok=True)
+    imgs_spec = jnp.zeros((batch_size, size[0], size[1], 3), jnp.float32)
+
+    def decode(params, images):
+        feat_grid = captioner.encode(params, images)
+        tokens, scores = beam_search(captioner, params, feat_grid, sos, eos,
+                                     beam_size, T)
+        return tokens, scores
+
+    blob = jex.export(jax.jit(decode))(params, imgs_spec).serialize()
+    with open(os.path.join(out_dir, _DECODE), "wb") as f:
+        f.write(blob)
+
+    buckets = []
+    if method is not None:
+        from ..explain.engine import Explainer
+
+        ex = Explainer(captioner, params, caption_pp, method=method,
+                       beam_size=beam_size, max_len=T,
+                       word_buckets=word_buckets)
+        toks_spec = jnp.zeros((batch_size, T), jnp.int32)
+        buckets = sorted({*ex._buckets, T})
+        for w in buckets:
+            import functools
+
+            body = functools.partial(ex._explain_batch_impl, n_words=w)
+            blob = jex.export(jax.jit(body))(params, imgs_spec, toks_spec).serialize()
+            with open(os.path.join(out_dir, f"explain_w{w}.jexport"), "wb") as f:
+                f.write(blob)
+
+    save_params_npz(os.path.join(out_dir, _PARAMS), params)
+    meta = {
+        "batch_size": batch_size,
+        "beam_size": beam_size,
+        "max_len": T,
+        "image_size": list(size),
+        "sos": int(sos),
+        "eos": int(eos),
+        "eos_word": caption_pp.EOS_TOKEN,
+        "method": method,
+        "buckets": [int(w) for w in buckets],
+        "word_of": {str(i): w for i, w in caption_pp.word_of.items()},
+    }
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+class ExportedCaptioner:
+    """Serve from an ``export_serving`` artifact — no model code needed.
+
+    ``caption(images)`` / ``explain(images)`` mirror ``CaptionService``
+    semantics (requests chunked/padded to the exported batch size).
+    """
+
+    def __init__(self, out_dir: str):
+        from jax import export as jex
+
+        from ..train.checkpoint import load_params_npz
+
+        with open(os.path.join(out_dir, _META)) as f:
+            self.meta = json.load(f)
+        self._word_of = {int(i): w for i, w in self.meta["word_of"].items()}
+        self.params = load_params_npz(os.path.join(out_dir, _PARAMS))
+        with open(os.path.join(out_dir, _DECODE), "rb") as f:
+            self._decode = jex.deserialize(f.read())
+        self._explain = {}
+        for w in self.meta["buckets"]:
+            with open(os.path.join(out_dir, f"explain_w{w}.jexport"), "rb") as f:
+                self._explain[w] = jex.deserialize(f.read())
+        self._B = self.meta["batch_size"]
+
+    # -- helpers -------------------------------------------------------------
+
+    def _pad(self, arr):
+        n = arr.shape[0]
+        if n == self._B:
+            return arr
+        reps = np.concatenate([arr] + [arr[-1:]] * (self._B - n))
+        return reps
+
+    def _tokens_to_string(self, row) -> str:
+        # CaptionService semantics: words only, no EOS sentinel appended
+        # (the Explanation captions from explain() DO carry it, matching
+        # Explainer.analyze*)
+        eos = self.meta["eos"]
+        words = []
+        for tok in row:
+            if tok == 0 or tok == eos:
+                break
+            words.append(self._word_of[int(tok)])
+        return " ".join(words)
+
+    def _decode_chunk(self, chunk):
+        tokens, _ = self._decode.call(self.params, self._pad(np.asarray(chunk, np.float32)))
+        return np.asarray(tokens)[: chunk.shape[0]]
+
+    # -- public API ------------------------------------------------------
+
+    def caption(self, images) -> list[str]:
+        images = np.asarray(images, np.float32)
+        out = []
+        for i in range(0, images.shape[0], self._B):
+            out += [self._tokens_to_string(r)
+                    for r in self._decode_chunk(images[i:i + self._B])]
+        return out
+
+    def explain(self, images):
+        """-> list of dicts: caption, words, relevance_maps, attentions,
+        word_relevances, betas (the Explanation fields, minus framework
+        types). Buckets by the chunk's longest caption like analyze_batch."""
+        if not self._explain:
+            raise RuntimeError("artifact was exported without explain programs"
+                               " (pass method= to export_serving)")
+        images = np.asarray(images, np.float32)
+        eos = self.meta["eos"]
+        out = []
+        for i in range(0, images.shape[0], self._B):
+            chunk = images[i:i + self._B]
+            toks = self._decode_chunk(chunk)
+            n_max = 0
+            for row in toks:
+                n = 0
+                for tok in row:
+                    if tok == 0 or tok == eos:
+                        break
+                    n += 1
+                n_max = max(n_max, n)
+            bucket = min((w for w in self._explain if w >= max(n_max, 1)),
+                         default=self.meta["max_len"])
+            toks_pad = self._pad(toks).astype(np.int32)
+            maps, r_feat, r_words, atts, betas = self._explain[bucket].call(
+                self.params, self._pad(chunk), toks_pad)
+            for b in range(chunk.shape[0]):
+                words, keep = [], []
+                for t, tok in enumerate(toks[b]):
+                    if tok == 0 or tok == eos:
+                        break
+                    words.append(self._word_of[int(tok)])
+                    keep.append(t)
+                keep = np.asarray(keep, np.int64)
+                out.append({
+                    "caption": " ".join(words + [self.meta["eos_word"]]),
+                    "words": words,
+                    "tokens_1based": toks[b],
+                    "relevance_maps": np.asarray(maps[b])[keep],
+                    "feat_relevance": np.asarray(r_feat[b])[keep],
+                    "attentions": np.asarray(atts[b])[keep],
+                    "word_relevances": np.asarray(r_words[b])[keep],
+                    "betas": np.asarray(betas[b])[keep],
+                })
+        return out

@@ -1,0 +1,84 @@
+"""jax.export serving artifact: round-trip equality with the live framework.
+
+export_serving packages the compiled beam-decode (+ bucketed explain)
+programs as StableHLO blobs + params.npz + tokenizer meta; ExportedCaptioner
+must reproduce the live CaptionService/Explainer outputs exactly while using
+only the artifact (no model construction)."""
+
+import numpy as np
+import jax
+import pytest
+
+from lrp_imagecaptioning_tpu.config import FlickrConfig
+from lrp_imagecaptioning_tpu.explain.engine import Explainer
+from lrp_imagecaptioning_tpu.infer.export import ExportedCaptioner, export_serving
+from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+CFG = FlickrConfig(
+    embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
+    sentence_length=5, drop_rate=0.0, image_size=(32, 32),
+)
+VOCAB = 16
+
+
+class PP:
+    SOS_TOKEN = "szeros"
+    EOS_TOKEN = "zeros"
+    SOS_TOKEN_LABEL_ENCODED = 1
+    EOS_TOKEN_LABEL_ENCODED = 2
+    word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+    word_of[1] = "szeros"
+    word_of[2] = "zeros"
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    cap = build_captioner("adaptiveattention", CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    out = str(tmp_path_factory.mktemp("export") / "artifact")
+    export_serving(cap, params, PP(), out, batch_size=3, beam_size=2,
+                   method="lrp", word_buckets=(2,))
+    return out, cap, params
+
+
+def test_exported_caption_matches_live(artifact, rng):
+    out, cap, params = artifact
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+
+    images = rng.normal(size=(5, 32, 32, 3)).astype(np.float32)
+    exported = ExportedCaptioner(out)
+    live = CaptionService(cap, params, PP(), batch_size=3, beam_size=2)
+    # 5 images through the batch-3 artifact: chunked 3 + padded 2
+    assert exported.caption(images) == live.caption(images)
+
+
+def test_exported_explain_matches_live(artifact, rng):
+    out, cap, params = artifact
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    exported = ExportedCaptioner(out)
+    ex = Explainer(cap, params, PP(), method="lrp", beam_size=2,
+                   word_buckets=(2,))
+    got = exported.explain(images)
+    want = ex.analyze_batch(images)
+    for g, w in zip(got, want):
+        assert g["caption"] == w.caption
+        np.testing.assert_allclose(g["relevance_maps"], w.relevance_maps,
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(g["betas"], w.betas, rtol=1e-5, atol=1e-7)
+
+
+def test_exported_artifact_is_self_contained(artifact):
+    """Loading must touch only jax + numpy + the artifact directory: the
+    meta carries the tokenizer surface and shapes."""
+    import json
+    import os
+
+    out, _, _ = artifact
+    files = sorted(os.listdir(out))
+    assert "decode.jexport" in files and "params.npz" in files
+    assert "explain_w2.jexport" in files and "explain_w5.jexport" in files
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["batch_size"] == 3 and meta["eos"] == 2
+    assert meta["word_of"]["3"] == "w3"
+    assert meta["buckets"] == [2, 5]
