@@ -19,7 +19,8 @@ Layout of an export directory::
 ``jax.export`` serializes with version guarantees (StableHLO forward
 compatibility), runs on any backend at load time, and embeds nothing
 device-specific — the same artifact serves on CPU for tests and TPU in
-production.
+production (verified 2026-08-17: an artifact exported on the CPU backend
+decoded + explained on a v5e chip unmodified).
 """
 
 from __future__ import annotations
