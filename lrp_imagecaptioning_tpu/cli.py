@@ -288,29 +288,41 @@ def cmd_export_serving(args):
 
 def cmd_serve(args):
     """Production serving: warmed CaptionService + micro-batching queue behind
-    the stdlib HTTP front-end (no reference analog — new deployment surface)."""
-    from .data.provider import DatasetProvider
+    the stdlib HTTP front-end (no reference analog — new deployment surface).
+    With ``--exported DIR`` the service is an ExportedService over a
+    StableHLO artifact — no model/config/tokenizer code in this process."""
     from .infer.http_server import CaptionHTTPServer
-    from .infer.serving import CaptionService
-    from .models.captioner import build_captioner
 
-    cfg, dataset = _build_dataset(args)
-    provider = DatasetProvider(dataset, cfg)
-    captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
-    params = _load_params(captioner, args)
-    serve_batch = args.batch_size or cfg.batch_size  # --batch-size defaults None
-    mesh = None
-    if getattr(args, "mesh", 0) and args.mesh > 1:
-        from .parallel import make_mesh
+    if getattr(args, "exported", None):
+        from .infer.export import ExportedService
 
-        mesh = make_mesh(args.mesh)
-    svc = CaptionService(captioner, params, provider.caption_preprocessor,
-                         batch_size=serve_batch, beam_size=args.beam_size,
-                         mesh=mesh)
-    print(f"warming up (batch {serve_batch}, beam {args.beam_size}, "
-          f"explain={args.with_explain})...", flush=True)
-    svc.warmup(explain=args.with_explain, method=args.method)
-    svc.start_queue(linger_ms=args.linger_ms)
+        print(f"loading exported artifact {args.exported}...", flush=True)
+        svc = ExportedService(args.exported)
+        print(f"warmed in {svc.stats.get('warmup_s')}s "
+              f"(batch {svc.meta['batch_size']}, beam {svc.meta['beam_size']})",
+              flush=True)
+    else:
+        from .data.provider import DatasetProvider
+        from .infer.serving import CaptionService
+        from .models.captioner import build_captioner
+
+        cfg, dataset = _build_dataset(args)
+        provider = DatasetProvider(dataset, cfg)
+        captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
+        params = _load_params(captioner, args)
+        serve_batch = args.batch_size or cfg.batch_size  # --batch-size defaults None
+        mesh = None
+        if getattr(args, "mesh", 0) and args.mesh > 1:
+            from .parallel import make_mesh
+
+            mesh = make_mesh(args.mesh)
+        svc = CaptionService(captioner, params, provider.caption_preprocessor,
+                             batch_size=serve_batch, beam_size=args.beam_size,
+                             mesh=mesh)
+        print(f"warming up (batch {serve_batch}, beam {args.beam_size}, "
+              f"explain={args.with_explain})...", flush=True)
+        svc.warmup(explain=args.with_explain, method=args.method)
+        svc.start_queue(linger_ms=args.linger_ms)
     if getattr(args, "transport", "http") == "grpc":
         from .infer.grpc_server import CaptionGrpcServer
 
@@ -332,7 +344,8 @@ def cmd_serve(args):
         except KeyboardInterrupt:
             pass
     server.stop()
-    svc.stop_queue()
+    if hasattr(svc, "stop_queue"):
+        svc.stop_queue()
 
 
 def main(argv=None):
@@ -430,6 +443,9 @@ def main(argv=None):
                    help="also pre-compile the explanation endpoint")
     p.add_argument("--serve-seconds", type=float, default=None,
                    help="exit after N seconds (tests/smoke); default: run forever")
+    p.add_argument("--exported", default=None, metavar="DIR",
+                   help="serve from an export-serving StableHLO artifact "
+                        "instead of building the model")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("export-serving",

@@ -211,3 +211,46 @@ class ExportedCaptioner:
                     "betas": np.asarray(betas[b])[keep],
                 })
         return out
+
+
+class ExportedService:
+    """CaptionService-compatible facade over an export directory, so the
+    HTTP/gRPC front-ends (which need ``dispatch``/``stats``) can serve from
+    a StableHLO artifact with no model/config/tokenizer code in the serving
+    process (``cli serve --exported DIR``)."""
+
+    def __init__(self, out_dir: str, warmup: bool = True):
+        import time
+
+        self._ec = ExportedCaptioner(out_dir)
+        self.meta = self._ec.meta
+        self.stats = {"requests": 0, "images": 0, "latency_ema_s": 0.0,
+                      "exported_artifact": os.path.abspath(out_dir)}
+        if warmup:
+            size = self.meta["image_size"]
+            dummy = np.zeros((self.meta["batch_size"], size[0], size[1], 3),
+                             np.float32)
+            t0 = time.time()
+            self._ec.caption(dummy)
+            if self._ec._explain:
+                self._ec.explain(dummy)
+            self.stats["warmup_s"] = round(time.time() - t0, 3)
+
+    def dispatch(self, images, explain: bool = False, method: str = "lrp"):
+        import time
+        from types import SimpleNamespace
+
+        t0 = time.perf_counter()
+        if explain:
+            exported = self.meta.get("method")
+            if exported and method and method != exported:
+                raise ValueError(
+                    f"artifact was exported with method {exported!r}; "
+                    f"cannot serve {method!r}")
+            out = [SimpleNamespace(**e) for e in self._ec.explain(images)]
+        else:
+            out = self._ec.caption(images)
+        self.stats["requests"] += 1
+        self.stats["images"] += int(np.asarray(images).shape[0])
+        self.stats["latency_ema_s"] = time.perf_counter() - t0
+        return out

@@ -82,3 +82,21 @@ def test_exported_artifact_is_self_contained(artifact):
     assert meta["batch_size"] == 3 and meta["eos"] == 2
     assert meta["word_of"]["3"] == "w3"
     assert meta["buckets"] == [2, 5]
+
+
+def test_exported_service_dispatch(artifact, rng):
+    """ExportedService: the CaptionService-compatible facade the HTTP/gRPC
+    front-ends need (dispatch/stats), incl. the export-method guard."""
+    from lrp_imagecaptioning_tpu.infer.export import ExportedService
+
+    out, _, _ = artifact
+    svc = ExportedService(out, warmup=False)
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    caps = svc.dispatch(images)
+    assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+    exps = svc.dispatch(images, explain=True, method="lrp")
+    assert exps[0].caption.endswith("zeros")
+    assert exps[0].relevance_maps.shape[1:] == (32, 32, 3)
+    assert svc.stats["requests"] == 2 and svc.stats["images"] == 4
+    with pytest.raises(ValueError):
+        svc.dispatch(images, explain=True, method="gradient")
