@@ -74,6 +74,8 @@ def _build_dataset(args):
             overrides[field] = v
     if getattr(args, "dataset_root", None):
         overrides["dataset_root"] = args.dataset_root
+    if getattr(args, "bf16", False):
+        overrides["compute_dtype"] = "bfloat16"
     for kv in getattr(args, "config_set", None) or ():
         key, _, raw = kv.partition("=")
         overrides[key] = _coerce_config_value(cfg, key, raw)
@@ -98,6 +100,10 @@ def _add_common(p):
     p.add_argument("--set", dest="config_set", action="append", metavar="KEY=VALUE",
                    help="override any config field, e.g. --set hidden_dim=64 "
                         "(repeatable; values parsed by field type)")
+    p.add_argument("--bf16", action="store_true",
+                   help="mixed precision: encoder matmuls in bfloat16 on the "
+                        "MXU, f32 master params/optimizer "
+                        "(= --set compute_dtype=bfloat16)")
 
 
 def cmd_train(args):
@@ -318,7 +324,8 @@ def cmd_serve(args):
             mesh = make_mesh(args.mesh)
         svc = CaptionService(captioner, params, provider.caption_preprocessor,
                              batch_size=serve_batch, beam_size=args.beam_size,
-                             mesh=mesh)
+                             mesh=mesh,
+                             shard_words=bool(getattr(args, "shard_words", False)))
         print(f"warming up (batch {serve_batch}, beam {args.beam_size}, "
               f"explain={args.with_explain})...", flush=True)
         svc.warmup(explain=args.with_explain, method=args.method)
@@ -437,6 +444,9 @@ def main(argv=None):
                    help="front-end protocol (grpc_server.py generic-bytes service)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard request batches over an N-device data-parallel mesh")
+    p.add_argument("--shard-words", action="store_true",
+                   help="with --mesh: shard single-image explain requests over "
+                        "the per-word backward passes (latency mode)")
     p.add_argument("--linger-ms", type=float, default=5.0,
                    help="micro-batching window for concurrent requests")
     p.add_argument("--with-explain", action="store_true",

@@ -108,7 +108,8 @@ class Explainer:
     """
 
     def __init__(self, captioner, params, caption_pp, method: str = "lrp", beam_size: int = 3, max_len: int | None = None,
-                 storage_dtype=None, word_buckets=(4, 8, 12, 16), mesh=None):
+                 storage_dtype=None, word_buckets=(4, 8, 12, 16), mesh=None,
+                 shard_words: bool = False):
         """``storage_dtype=jnp.bfloat16`` holds the VGG-LRP backward's
         activations/relevances in bf16 — the production throughput mode
         (+12% measured; heatmap deviation ~0.9% of map scale, see
@@ -130,7 +131,17 @@ class Explainer:
         reference always pays (explainers.py:179-189 predicts per word but
         over the full beam output). Each bucket compiles once on first use.
         Pass ``word_buckets=()`` to always explain all ``max_len`` positions
-        in a single program (round-1 behavior)."""
+        in a single program (round-1 behavior).
+
+        ``shard_words`` (requires ``mesh``): the single-image ``analyze``
+        path shards the per-word backward passes — decoder LRP/gradient AND
+        the word-batched CNN backward, ~91% of the pipeline — over the
+        mesh's data axis, cutting single-request latency by up to the
+        data-axis size. Each device redundantly runs the cheap shared prefix
+        (encode + cached decoder forward) and explains only its local word
+        positions; results are stitched on the word axis. Throughput-oriented
+        batch paths (``analyze_batch``/``analyze_many``) keep sharding over
+        images instead — with many images that is the better decomposition."""
         if method not in METHODS:
             raise ValueError(f"method {method!r} not in {METHODS}")
         self.captioner = captioner
@@ -150,6 +161,9 @@ class Explainer:
         self._noise_seed = 0
         self._storage_dtype = storage_dtype
         self._mesh = mesh
+        if shard_words and mesh is None:
+            raise ValueError("shard_words=True requires a mesh")
+        self._shard_words = bool(shard_words)
         if mesh is not None:
             from ..parallel import replicated
 
@@ -159,6 +173,7 @@ class Explainer:
         # the full-length program is always available as bucket T.
         self._buckets = tuple(sorted(w for w in set(word_buckets) if w < self._max_len))
         self._explain_jit = {}
+        self._explain_sharded_jit = {}
 
     def _bucket_for(self, n_words: int) -> int:
         for w in self._buckets:
@@ -171,6 +186,36 @@ class Explainer:
         if fn is None:
             fn = jax.jit(functools.partial(self._explain_impl, n_words=n_words))
             self._explain_jit[n_words] = fn
+        return fn
+
+    def _explain_sharded_for(self, n_words: int):
+        """Word-sharded single-image explain program (``shard_words``).
+
+        The bucket is rounded UP to a multiple of the mesh's data-axis size
+        so each device owns an equal word slice; surplus positions clamp to
+        the last timestep and are discarded by the caller's mask (the same
+        compute-and-mask contract as the bucket padding)."""
+        n_data = self._mesh.shape[self._mesh.axis_names[0]]
+        W = -(-n_words // n_data) * n_data
+        fn = self._explain_sharded_jit.get(W)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            def body(params, image, tokens_1based, positions):
+                return self._explain_impl(params, image, tokens_1based,
+                                          positions=positions)
+
+            smapped = jax.shard_map(
+                body, mesh=self._mesh,
+                in_specs=(P(), P(), P(), P(DATA_AXIS)),
+                out_specs=(P(DATA_AXIS),) * 5,
+                check_vma=False,
+            )
+            fn = jax.jit(lambda params, image, tokens: smapped(
+                params, image, tokens, jnp.arange(W, dtype=jnp.int32)))
+            self._explain_sharded_jit[W] = fn
         return fn
 
     # -- jitted programs ---------------------------------------------------
@@ -188,16 +233,26 @@ class Explainer:
         )
         return tokens[0], score[0]
 
-    def _explain_impl(self, params, image, tokens_1based, n_words=None):
+    def _explain_impl(self, params, image, tokens_1based, n_words=None, positions=None):
         """All-word explanation as one program.
 
         tokens_1based: (T,) beam output (1-based, 0 after EOS). The first
         ``n_words`` (static; default T) positions are explained
         unconditionally (static shapes); the caller masks.
+
+        ``positions``: optional (W,) int32 array of explicit word positions
+        to explain instead of ``arange(n_words)`` — the word-sharded latency
+        path (``shard_words``) passes each device its local slice. Positions
+        beyond the caption length are computed-and-discarded (gathers clamp);
+        callers mask, exactly as with the bucket padding.
         """
         cap = self.captioner
         T = self._max_len
-        W = T if n_words is None else int(n_words)
+        if positions is not None:
+            W = positions.shape[0]
+        else:
+            W = T if n_words is None else int(n_words)
+            positions = jnp.arange(W)
         sos0 = self._pp.SOS_TOKEN_LABEL_ENCODED - 1
         feat_grid = cap.encode(params, image[None])          # (1, L, D)
         consts_b = cap.prepare_consts(params, feat_grid)
@@ -219,7 +274,7 @@ class Explainer:
         def one(t, w):
             return backward(dec_params, consts, caches, t, w, T)
 
-        r_feat, r_words, atts = jax.vmap(one)(jnp.arange(W), words0[:W])  # (W,L,D), (W,T), (W,L)
+        r_feat, r_words, atts = jax.vmap(one)(positions, words0[positions])  # (W,L,D), (W,T), (W,L)
 
         # linguistic relevance: SOS slot zeroed, then max-|.| normalization
         # (explainers.py:660-665; the reference also drops the SOS column —
@@ -354,7 +409,11 @@ class Explainer:
         elif self.method == "smoothgrad":
             from .cnn_gradient import vgg_smoothgrad
 
-            keys = jax.random.split(jax.random.PRNGKey(self._noise_seed), W)
+            # keys derive from the WORD POSITION (not the vmap lane) so the
+            # word-sharded program draws the same noise as the unsharded one
+            keys = jax.vmap(
+                lambda p: jax.random.fold_in(jax.random.PRNGKey(self._noise_seed), p)
+            )(positions)
             maps = jax.vmap(lambda s, k: vgg_smoothgrad(
                 params["vgg"], image[None], s[None], k, cap.cfg.img_encoder, cap.cfg.layer_name,
                 n=self._sg_samples, noise_scale=self._sg_noise,
@@ -371,7 +430,7 @@ class Explainer:
 
             maps = jax.vmap(one_ggc)(seeds)
         if hasattr(caches, "beta"):
-            betas = caches.beta[:W, 0]                       # (W,) sentinel gate
+            betas = caches.beta[positions, 0]                # (W,) sentinel gate
         else:  # AOA has no visual sentinel
             betas = jnp.zeros((W,), maps.dtype)
         return maps, r_feat, r_words, atts, betas
@@ -451,6 +510,13 @@ class Explainer:
         for bucket in (*self._buckets, self._max_len):
             jax.block_until_ready(
                 self._explain_batch_for(bucket)(self.params, images, toks))
+        if self._shard_words:
+            # latency mode: also compile the single-image decode and every
+            # word-sharded bucket program (distinct W after mesh round-up)
+            jax.block_until_ready(self._decode(self.params, images[0])[0])
+            for bucket in (*self._buckets, self._max_len):
+                jax.block_until_ready(self._explain_sharded_for(bucket)(
+                    self.params, images[0], toks[0])[0])
         return self
 
     def analyze_batch(self, images, tokens_1based=None) -> list:
@@ -591,7 +657,9 @@ class Explainer:
             keep.append(t)
         keep = np.asarray(keep, np.int64)
         bucket = self._bucket_for(len(keep))
-        maps, r_feat, r_words, atts, betas = self._explain_for(bucket)(self.params, image, toks)
+        explain = (self._explain_sharded_for(bucket) if self._shard_words
+                   else self._explain_for(bucket))
+        maps, r_feat, r_words, atts, betas = explain(self.params, image, toks)
         if caption is None:
             caption = " ".join(words + [self._pp.EOS_TOKEN])
         return Explanation(

@@ -37,14 +37,23 @@ class CaptionService:
 
     def __init__(self, captioner, params, caption_pp, batch_size: int = 8,
                  beam_size: int = 3, max_len: int | None = None,
-                 compute_dtype=None, storage_dtype=None, mesh=None):
+                 compute_dtype=None, storage_dtype=None, mesh=None,
+                 shard_words: bool = False):
         """``mesh``: a ``parallel.make_mesh`` device mesh — requests then
         shard over the mesh's data axis (params replicated), scaling serving
         throughput across chips with the same padded-batch contract.
-        ``batch_size`` must be divisible by the mesh's data-axis size."""
+        ``batch_size`` must be divisible by the mesh's data-axis size.
+
+        ``shard_words`` (requires ``mesh``): single-image ``explain()``
+        requests shard the per-word backward passes over the mesh instead of
+        waiting for a batch — the latency mode (``Explainer(shard_words=)``).
+        Multi-image requests keep sharding over images."""
         self.captioner = captioner
         self.params = params
         self._mesh = mesh
+        if shard_words and mesh is None:
+            raise ValueError("shard_words=True requires a mesh")
+        self._shard_words = bool(shard_words)
         if mesh is not None:
             from ..parallel import replicated
 
@@ -120,6 +129,7 @@ class CaptionService:
                 self.captioner, self.params, self._pp, method=method,
                 beam_size=self._beam, max_len=self._T,
                 storage_dtype=self._storage_dtype, mesh=self._mesh,
+                shard_words=self._shard_words,
             )
         return self._explainer
 
@@ -161,11 +171,16 @@ class CaptionService:
         """
         n = images.shape[0]
         t0 = time.perf_counter()
-        # analyze_many chunks at the compiled batch size, pads short chunks
-        # by repeating a REAL row (so pad captions can never widen the
-        # word-count bucket), and length-sorts multi-chunk requests
-        result = self._get_explainer(method).analyze_many(
-            images, batch_size=self._B)
+        if self._shard_words and n == 1:
+            # latency mode: one image -> shard the per-word backward over
+            # the mesh rather than padding up to the service batch
+            result = [self._get_explainer(method).analyze(images[0])]
+        else:
+            # analyze_many chunks at the compiled batch size, pads short
+            # chunks by repeating a REAL row (so pad captions can never widen
+            # the word-count bucket), and length-sorts multi-chunk requests
+            result = self._get_explainer(method).analyze_many(
+                images, batch_size=self._B)
         self.stats["requests"] += 1
         self.stats["images"] += n
         self.stats["latency_ema_s"] = time.perf_counter() - t0

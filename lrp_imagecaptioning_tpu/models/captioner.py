@@ -99,12 +99,31 @@ class Captioner:
             "decoder": decoder_params,
         }
 
+    def _cfg_compute_dtype(self):
+        """cfg.compute_dtype ('bfloat16') -> dtype for the encoder matmuls.
+
+        Mixed precision the TPU way: conv/matmul INPUTS cast to bf16 for the
+        MXU fast path (accumulation stays f32 via preferred_element_type),
+        while the params pytree and the optimizer state remain f32 master
+        copies — gradients come back f32 through the cast."""
+        cd = getattr(self.cfg, "compute_dtype", "float32")
+        if cd in (None, "float32", "f32"):
+            return None
+        if cd in ("bfloat16", "bf16"):
+            return jnp.bfloat16
+        raise ValueError(f"unsupported compute_dtype {cd!r}")
+
     def encode(self, params, images, compute_dtype=None, relu_fn=None):
         """images (B,224,224,3) preprocessed -> (B, L, D) feature grid.
 
         Encoder dispatch mirrors the reference builders (model.py:418-429):
         vgg16/vgg19 tap ``cfg.layer_name``; resnet50 taps the final conv5
-        relu ('activation_49', 7x7x2048, config.py:37)."""
+        relu ('activation_49', 7x7x2048, config.py:37).
+
+        ``compute_dtype`` defaults to ``cfg.compute_dtype`` (f32 unless
+        configured); pass it explicitly to override per call site."""
+        if compute_dtype is None:
+            compute_dtype = self._cfg_compute_dtype()
         if self.cfg.img_encoder in ("vgg16", "vgg19"):
             feats = vgg.vgg_apply(
                 params["vgg"], images, self.cfg.img_encoder, self.cfg.layer_name,

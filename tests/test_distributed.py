@@ -315,3 +315,45 @@ def test_mesh_analyze_many_matches_single_device(rng):
     assert [e.words for e in c] == [e.words for e in b[:8]]
     with pytest.raises(ValueError):
         sharded.analyze_many(images, tokens_1based=tokens, batch_size=3)
+
+
+def test_word_sharded_analyze_matches_single_device(rng):
+    """Explainer(shard_words=True): the single-image analyze path shards the
+    per-word backward passes over the mesh's data axis (latency mode). Must
+    reproduce the unsharded analyze — words identical, maps/relevances
+    allclose — for both the LRP and gradient method families."""
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, 17)}
+
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
+                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cap = build_captioner("adaptiveattention", cfg, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    image = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    tokens = np.array([5, 7, 9, 2, 0], np.int32)  # 3 words then EOS
+
+    mesh = make_mesh(8)
+    for method in ("lrp", "gradient"):
+        plain = Explainer(cap, params, PP(), method=method)
+        sharded = Explainer(cap, params, PP(), method=method, mesh=mesh,
+                            shard_words=True)
+        ea = plain.analyze(image, tokens_1based=tokens)
+        eb = sharded.analyze(image, tokens_1based=tokens)
+        assert eb.words == ea.words
+        np.testing.assert_allclose(eb.relevance_maps, ea.relevance_maps,
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(eb.word_relevances, ea.word_relevances,
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(eb.betas, ea.betas, rtol=2e-4, atol=2e-6)
+
+    # shard_words without a mesh is rejected up front
+    with pytest.raises(ValueError):
+        Explainer(cap, params, PP(), shard_words=True)

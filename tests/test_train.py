@@ -477,3 +477,35 @@ def test_lrp_finetune_step_max_words(rng):
     images, caps, y = _batch(rng)
     params2, _, m = step(params, opt_state, images, caps, y, jax.random.PRNGKey(7))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_bf16_mixed_precision_train_step(rng):
+    """cfg.compute_dtype='bfloat16' runs the encoder matmuls in bf16 while
+    params/optimizer state stay f32 masters: the step must produce finite
+    f32 grads close to the f32 step's, and updated params must remain f32."""
+    cfg_bf16 = CFG.replace(compute_dtype="bfloat16")
+    cap32 = build_captioner("adaptiveattention", CFG, VOCAB)
+    cap16 = build_captioner("adaptiveattention", cfg_bf16, VOCAB)
+    params = cap32.init_params(jax.random.PRNGKey(0))
+    images, caps, y = _batch(rng)
+
+    l32, g32 = jax.value_and_grad(cap32.loss)(params, images, caps, y)
+    l16, g16 = jax.value_and_grad(cap16.loss)(params, images, caps, y)
+    assert np.isfinite(float(l16))
+    # bf16 has ~3 decimal digits; losses agree to bf16 rounding
+    np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
+    flat16 = jax.tree.leaves(g16)
+    assert all(g.dtype == jnp.float32 for g in flat16)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat16)
+    # gradient direction agrees with the f32 step (cosine over the encoder)
+    v32 = np.concatenate([np.asarray(g).ravel() for g in jax.tree.leaves(g32["vgg"])])
+    v16 = np.concatenate([np.asarray(g).ravel() for g in jax.tree.leaves(g16["vgg"])])
+    cos = float(v32 @ v16 / (np.linalg.norm(v32) * np.linalg.norm(v16) + 1e-12))
+    assert cos > 0.98
+
+    opt = make_optimizer("adaptiveattention", 1e-3)
+    step = make_train_step(cap16, opt, donate=False)
+    new_params, _, metrics = step(params, opt.init(params), images, caps, y,
+                                  jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(new_params))
