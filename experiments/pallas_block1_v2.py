@@ -20,7 +20,7 @@ once per band (Pallas skips re-fetch when the index map output is unchanged).
 Measured against the XLA chain (experiments/bench_block1.py: 6.57 ms/chain
 at (20,224,224,64) bf16): see __main__ output.
 
-RESULT (v5e via axon tunnel, 2026-08-17) — the Pallas question is CLOSED:
+RESULT (v5e via axon tunnel, 2026-08-17, scan+block_until_ready protocol):
 
   pallas v2 (fused, packed, steady-state)   5.34-5.94 ms/chain
   pallas v3 (edge-aware DMA, no repad)      5.22-5.45 ms/chain
@@ -30,13 +30,17 @@ RESULT (v5e via axon tunnel, 2026-08-17) — the Pallas question is CLOSED:
                                             dimension 3 must be aligned to
                                             tiling (128)' — confirmed dead
 
-Interpretation: a bare one-pass elementwise rewrite of the same 257 MB
-(read+write, bf16) costs 4.2 ms -> this chip realizes ~60 GB/s streaming on
-these access patterns (far below v5e paper bandwidth; tunnel-attached chip).
-XLA's conv chain, the round-1 two-pass kernel (normalized for its f32/
-channel-pad/two-pass handicaps), and this fully-fused single-pass kernel all
-land within 1.25x of that floor. There is no headroom left at block1 from
-kernel engineering on this hardware; the conv chain is bandwidth-wall-bound.
+*** 2026-08-18 MEASUREMENT CORRECTION (see experiments/bench_sound.py and
+BASELINE.md): the numbers above — and the "~60 GB/s streaming wall"
+interpretation that was here — were artifacts of a timing protocol that is
+unsound on this backend (block_until_ready does not block; the scan-chained
+programs were additionally distorted). Re-measured with the sound
+unrolled-slope + host-fetch protocol: the chip streams ~600-770 GB/s; the
+XLA chain on the identical packed layout costs 1.80 ms; THIS v3 KERNEL
+COSTS 2.06 ms — it LOSES to XLA. The kernel stays retired, now for the
+right reason. The shipped fix for block1 is pure-XLA lane packing
+(explain/cnn_lrp.py::vgg_lrp_preset_a_wordbatched lane_pack=True), which
+took the headline bench from 100.7 to 107.7 img/s/chip. ***
 Parity: packed v2 matches the reference rule to 0.5% (bf16 storage).
 """
 

@@ -316,8 +316,35 @@ def vgg_deep_taylor_bounded(params, image, relevance_seed, low, high,
     return r
 
 
+def _lane_pack(r):
+    """(W, h, w, C) word-batched -> (W//2, h, w, 2C): two words side-by-side
+    in the channel (lane) dim. W must be even."""
+    Wn, h, w, C = r.shape
+    return (r.reshape(Wn // 2, 2, h, w, C).transpose(0, 2, 3, 1, 4)
+             .reshape(Wn // 2, h, w, 2 * C))
+
+
+def _lane_unpack(r):
+    """Inverse of :func:`_lane_pack`."""
+    Wn, h, w, C2 = r.shape
+    C = C2 // 2
+    return (r.reshape(Wn, h, w, 2, C).transpose(0, 3, 1, 2, 4)
+             .reshape(2 * Wn, h, w, C))
+
+
+def _block_diag_kernel(k):
+    """(kh, kw, ci, co) -> (kh, kw, 2ci, 2co) with two copies of ``k`` on the
+    block diagonal: a conv of lane-packed inputs with this kernel computes the
+    original conv on each word's lane half independently."""
+    kh, kw, ci, co = k.shape
+    kb = jnp.zeros((kh, kw, 2 * ci, 2 * co), k.dtype)
+    kb = kb.at[:, :, :ci, :co].set(k)
+    kb = kb.at[:, :, ci:, co:].set(k)
+    return kb
+
+
 def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", until="block5_conv3",
-                                 compute_dtype=None, storage_dtype=None):
+                                 compute_dtype=None, storage_dtype=None, lane_pack=True):
     """Per-word LRP with the forward pass shared across words.
 
     image: (1, 224, 224, 3); relevance_seeds: (W, 14, 14, 512) — one seed per
@@ -328,12 +355,23 @@ def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", u
 
     ``storage_dtype=bfloat16`` goes further: params/activations/relevances
     are HELD in bf16, halving the HBM traffic of the elementwise
-    divide/re-weight chains (the measured bottleneck at the wide early VGG
-    layers — this pass is bandwidth-bound there, not MXU-bound). Convs then
-    run natively in bf16 (the MXU still accumulates f32 internally).
-    Measured on v5e at batch 32x20 words: 343ms vs 385ms for compute_dtype
-    alone, max deviation 0.9% of the map scale (corr 0.99999 vs f32).
-    Returns (W, 224, 224, 3) in f32.
+    divide/re-weight chains. Convs then run natively in bf16 (the MXU still
+    accumulates f32 internally). Measured on v5e at batch 32x20 words: 343ms
+    vs 385ms for compute_dtype alone, max deviation 0.9% of the map scale
+    (corr 0.99999 vs f32). Returns (W, 224, 224, 3) in f32.
+
+    ``lane_pack=True`` (vgg16/vgg19 only): the C<=64 tail of the backward —
+    conv2_1's rule, pool1 WTA, conv1_2's rule, conv1_1's input rule — runs
+    with TWO WORDS PACKED into the 128-lane channel dim via block-diagonal
+    kernels. Rationale (measured, BASELINE.md round-2 corrected profile):
+    TPU tiles are (.., 128) in the minor dim, so 64-channel bf16 tensors pad
+    half their lanes — every block1 op pays 2x HBM traffic and the conv1_2
+    transposed conv runs at 32 TF/s vs the 149 TF/s XLA reaches at the
+    identical-FLOPs block2 shapes. Packing restores full lanes using the
+    SAME rule code (the block-diagonal kernel doubles MAC count but the MXU
+    was half-idle anyway). Semantics are exact up to conv summation order;
+    a zero pad row is added when W is odd. The packed region is skipped when
+    ``until`` stops before block2_conv1.
     """
     if storage_dtype is not None:
         params = jax.tree.map(lambda a: a.astype(storage_dtype), params)
@@ -342,11 +380,64 @@ def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", u
         compute_dtype = None  # ops run natively in storage_dtype
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
 
-    def one(seed):
-        rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(
-            r, x, k, b, alpha=1.0, beta=0.0, compute_dtype=compute_dtype, input_nonneg=nn
-        )
-        return _vgg_lrp_backward(params, inputs, seed[None], arch, until, rule)[0]
+    rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(
+        r, x, k, b, alpha=1.0, beta=0.0, compute_dtype=compute_dtype, input_nonneg=nn
+    )
 
-    out = jax.vmap(one)(relevance_seeds)
+    ops = vgg_layers(arch, until)
+    # the C<=64 tail: conv1_1, conv1_2, pool1, conv2_1 (identical in vgg16/19)
+    tail_len = 4
+    packable = (
+        lane_pack
+        and arch in ("vgg16", "vgg19")
+        and len(ops) > tail_len
+        and ops[tail_len - 1][:2] == ("conv", "block2_conv1")
+    )
+
+    if not packable:
+        def one(seed):
+            return _vgg_lrp_backward(params, inputs, seed[None], arch, until, rule)[0]
+
+        out = jax.vmap(one)(relevance_seeds)
+        return out.astype(jnp.float32) if storage_dtype is not None else out
+
+    head_ops, head_inputs = ops[tail_len:], inputs[tail_len:]
+
+    def one_head(seed):
+        r = seed[None]
+        for op, x in zip(reversed(head_ops), reversed(head_inputs)):
+            if op[0] == "conv":
+                p = params[op[1]]
+                r = rule(r, x, p["kernel"], p["bias"], True)
+            else:
+                r = lrp_maxpool_wta(r, x)
+        return r[0]
+
+    r = jax.vmap(one_head)(relevance_seeds)         # (W, 112, 112, 128)
+    W = r.shape[0]
+    if W % 2:
+        r = jnp.concatenate([r, jnp.zeros_like(r[:1])], axis=0)
+    rp = _lane_pack(r)                               # (ceil(W/2), 112, 112, 256)
+
+    def packed(x):
+        return jnp.concatenate([x, x], axis=-1)
+
+    p21, p12, p11 = params["block2_conv1"], params["block1_conv2"], params["block1_conv1"]
+    x21p, xpoolp, x12p, x11p = (packed(inputs[3]), packed(inputs[2]),
+                                packed(inputs[1]), packed(inputs[0]))
+    k21, k12, k11 = (_block_diag_kernel(p21["kernel"]),
+                     _block_diag_kernel(p12["kernel"]),
+                     _block_diag_kernel(p11["kernel"]))
+    b21, b12, b11 = (jnp.tile(p21["bias"], 2), jnp.tile(p12["bias"], 2),
+                     jnp.tile(p11["bias"], 2))
+
+    def one_tail(rl):
+        r = rl[None]
+        r = rule(r, x21p, k21, b21, True)            # conv2_1: 256 -> 128 lanes
+        r = lrp_maxpool_wta(r, xpoolp)               # pool1 WTA at 128 lanes
+        r = rule(r, x12p, k12, b12, True)            # conv1_2 at 128 lanes
+        r = rule(r, x11p, k11, b11, False)           # conv1_1 input rule -> 6 lanes
+        return r[0]
+
+    out = _lane_unpack(jax.vmap(one_tail)(rp))[:W]   # (W, 224, 224, 3)
     return out.astype(jnp.float32) if storage_dtype is not None else out
