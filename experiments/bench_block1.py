@@ -16,6 +16,15 @@ at exactly those shapes to find where the time goes:
 Each variant is iterated K times inside ONE jitted lax.scan (the chain is
 shape-preserving), so the measurement has one dispatch and no host round
 trips. Run on the real TPU: python experiments/bench_block1.py
+
+*** 2026-08-18 CAVEAT: this script's timing protocol (block_until_ready, no
+host fetch) is UNSOUND on this relay-attached backend — block_until_ready
+returns before execution finishes, and the absolute ms numbers it printed
+(and the "~60 GB/s wall" interpretation built on them) are unreliable. Use
+experiments/bench_sound.py (K-slope + host-fetched checksum) instead; its
+corrected per-variant numbers are in BASELINE.md "MEASUREMENT CORRECTION".
+The variant C insight (2-words-into-128-lanes is the right layout for C=64)
+survived and is shipped as cnn_lrp.py lane_pack=True. ***
 """
 
 import functools
