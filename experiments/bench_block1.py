@@ -35,6 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os_p
+import sys as _sys_p
+_sys_p.path.insert(0, _os_p.path.dirname(_os_p.path.dirname(_os_p.path.abspath(__file__))))
+
 W = 20          # words
 H = Wd = 224
 C = 64

@@ -41,6 +41,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os as _os_p
+import sys as _sys_p
+_sys_p.path.insert(0, _os_p.path.dirname(_os_p.path.dirname(_os_p.path.abspath(__file__))))
+
 BATCH = 56
 N_IMAGES = 224
 VOCAB = 7003

@@ -51,6 +51,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+import os as _os_p
+import sys as _sys_p
+_sys_p.path.insert(0, _os_p.path.dirname(_os_p.path.dirname(_os_p.path.abspath(__file__))))
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -357,3 +357,37 @@ def test_word_sharded_analyze_matches_single_device(rng):
     # shard_words without a mesh is rejected up front
     with pytest.raises(ValueError):
         Explainer(cap, params, PP(), shard_words=True)
+
+
+@pytest.mark.slow
+def test_word_sharded_analyze_gridtd(rng):
+    """shard_words parity for the two-LSTM grid-TD decoder (4 carried states,
+    per-word V accumulation across time — the heavier backward)."""
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, 17)}
+
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
+                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cap = build_captioner("gridTD", cfg, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    image = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    tokens = np.array([5, 7, 9, 2, 0], np.int32)
+
+    mesh = make_mesh(8)
+    plain = Explainer(cap, params, PP(), method="lrp")
+    sharded = Explainer(cap, params, PP(), method="lrp", mesh=mesh,
+                        shard_words=True)
+    ea = plain.analyze(image, tokens_1based=tokens)
+    eb = sharded.analyze(image, tokens_1based=tokens)
+    assert eb.words == ea.words
+    np.testing.assert_allclose(eb.relevance_maps, ea.relevance_maps,
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(eb.betas, ea.betas, rtol=2e-4, atol=2e-6)
