@@ -73,11 +73,11 @@ class ImagePreprocessor:
         try:
             from . import loader_native
 
-            if (self.encoder != "inception_v3"  # native loader is 224/caffe
-                    and self._size == IMAGE_SIZE
+            if (self._size[0] == self._size[1]  # native loader is square-only
                     and loader_native.available()
                     and not (self._augment and random_transform)):
-                return loader_native.load_batch_vgg(list(img_paths))
+                mode = "inception" if self.encoder == "inception_v3" else "caffe"
+                return loader_native.load_batch(list(img_paths), self._size[0], mode)
         except Exception:
             pass
         return self.preprocess_batch(self.preprocess_images(img_paths, random_transform))

@@ -1,5 +1,6 @@
-// Native batch image loader: decode (JPEG/PNG) -> nearest resize 224x224 ->
-// VGG 'caffe' preprocessing (RGB->BGR + ImageNet mean subtract), threaded.
+// Native batch image loader: decode (JPEG/PNG) -> PIL-compatible nearest
+// resize -> per-encoder preprocessing (Keras 'caffe' BGR mean-subtract for
+// vgg/resnet, or inception's RGB [-1,1] scaling), threaded.
 //
 // TPU-native equivalent of the reference's PIL-per-image Python loop
 // (models/preprocessors.py:27-42 ImagePreprocessor.preprocess_images): the
@@ -9,9 +10,14 @@
 // binding).
 //
 // ABI:
+//   int load_batch(const char** paths, int n, float* out, int size,
+//                  int mode, int n_threads)
+//     out must hold n*size*size*3 floats. mode 0 = caffe (BGR, ImageNet
+//     mean-subtracted — vgg16/19, resnet50/101); mode 1 = inception
+//     (RGB, x/127.5 - 1). Returns 0 on success or (i+1) where i is the
+//     first failed image; -1 on invalid size/mode.
 //   int load_batch_vgg(const char** paths, int n, float* out, int n_threads)
-// out must hold n*224*224*3 floats (BGR, mean-subtracted). Returns 0 on
-// success or (i+1) where i is the first failed image.
+//     back-compat wrapper for load_batch(..., 224, 0, ...).
 
 #include <atomic>
 #include <cstdint>
@@ -26,8 +32,8 @@
 
 namespace {
 
-constexpr int kSize = 224;
 constexpr float kMeanB = 103.939f, kMeanG = 116.779f, kMeanR = 123.68f;
+enum Mode { kCaffe = 0, kInception = 1 };
 
 struct Image {
   std::vector<uint8_t> rgb;  // h*w*3
@@ -109,7 +115,7 @@ bool decode_png(FILE* f, Image* img) {
 
 // ---- pipeline ------------------------------------------------------------
 
-bool load_one(const char* path, float* out) {
+bool load_one(const char* path, float* out, int size, int mode) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
   uint8_t magic[8] = {0};
@@ -127,20 +133,27 @@ bool load_one(const char* path, float* out) {
 
   // nearest resize with PIL-compatible center sampling:
   // src = floor((dst + 0.5) * scale)   (PIL Image.NEAREST)
-  const float sx = float(img.w) / kSize, sy = float(img.h) / kSize;
-  for (int y = 0; y < kSize; ++y) {
+  const float sx = float(img.w) / size, sy = float(img.h) / size;
+  for (int y = 0; y < size; ++y) {
     int src_y = int((y + 0.5f) * sy);
     if (src_y >= img.h) src_y = img.h - 1;
     const uint8_t* src_row = img.rgb.data() + size_t(src_y) * img.w * 3;
-    float* dst_row = out + size_t(y) * kSize * 3;
-    for (int x = 0; x < kSize; ++x) {
+    float* dst_row = out + size_t(y) * size * 3;
+    for (int x = 0; x < size; ++x) {
       int src_x = int((x + 0.5f) * sx);
       if (src_x >= img.w) src_x = img.w - 1;
       const uint8_t* p = src_row + size_t(src_x) * 3;
-      // RGB -> BGR + mean subtract (keras 'caffe' preprocess_input)
-      dst_row[x * 3 + 0] = float(p[2]) - kMeanB;
-      dst_row[x * 3 + 1] = float(p[1]) - kMeanG;
-      dst_row[x * 3 + 2] = float(p[0]) - kMeanR;
+      if (mode == kCaffe) {
+        // RGB -> BGR + mean subtract (keras 'caffe' preprocess_input)
+        dst_row[x * 3 + 0] = float(p[2]) - kMeanB;
+        dst_row[x * 3 + 1] = float(p[1]) - kMeanG;
+        dst_row[x * 3 + 2] = float(p[0]) - kMeanR;
+      } else {
+        // keras inception preprocess_input: RGB 0..255 -> [-1, 1]
+        dst_row[x * 3 + 0] = float(p[0]) / 127.5f - 1.0f;
+        dst_row[x * 3 + 1] = float(p[1]) / 127.5f - 1.0f;
+        dst_row[x * 3 + 2] = float(p[2]) / 127.5f - 1.0f;
+      }
     }
   }
   return true;
@@ -148,7 +161,9 @@ bool load_one(const char* path, float* out) {
 
 }  // namespace
 
-extern "C" int load_batch_vgg(const char** paths, int n, float* out, int num_threads) {
+extern "C" int load_batch(const char** paths, int n, float* out, int size,
+                          int mode, int num_threads) {
+  if (size <= 0 || (mode != kCaffe && mode != kInception)) return -1;
   if (n <= 0) return 0;
   if (num_threads < 1) num_threads = 1;
   if (num_threads > n) num_threads = n;
@@ -158,7 +173,7 @@ extern "C" int load_batch_vgg(const char** paths, int n, float* out, int num_thr
     while (true) {
       int i = next.fetch_add(1);
       if (i >= n || failed.load() >= 0) return;
-      if (!load_one(paths[i], out + size_t(i) * kSize * kSize * 3)) {
+      if (!load_one(paths[i], out + size_t(i) * size * size * 3, size, mode)) {
         int expect = -1;
         failed.compare_exchange_strong(expect, i);
         return;
@@ -170,4 +185,8 @@ extern "C" int load_batch_vgg(const char** paths, int n, float* out, int num_thr
   for (auto& t : pool) t.join();
   int bad = failed.load();
   return bad >= 0 ? bad + 1 : 0;
+}
+
+extern "C" int load_batch_vgg(const char** paths, int n, float* out, int num_threads) {
+  return load_batch(paths, n, out, 224, kCaffe, num_threads);
 }

@@ -80,3 +80,33 @@ def test_native_loader_failure_reports_index(native, tmp_path, rng):
     paths = _write_images(tmp_path, rng)
     with pytest.raises(RuntimeError, match="1-th"):
         native.load_batch_vgg([paths["png"], str(tmp_path / "missing.png")])
+
+
+def test_native_inception_mode(native, tmp_path, rng):
+    """The generalized entry point covers inception's 299/[-1,1] RGB path
+    (keras inception preprocess_input) and routes from ImagePreprocessor."""
+    from lrp_imagecaptioning_tpu.data.images import ImagePreprocessor
+
+    paths = _write_images(tmp_path, rng)
+    pp = ImagePreprocessor(encoder="inception_v3")
+    batch = [paths["png"], paths["gray"]]
+    got = native.load_batch(batch, size=299, mode="inception")
+    want = np.asarray(pp.preprocess_images(batch), np.float32)
+    assert got.shape == want.shape == (2, 299, 299, 3)
+    np.testing.assert_array_equal(got, want)  # PNG decodes bit-identically
+    assert got.min() >= -1.0 and got.max() <= 1.0
+    # provider-facing entry point routes inception through the native loader
+    np.testing.assert_array_equal(pp.preprocess_batch_paths(batch), got)
+
+
+def test_native_custom_size_caffe(native, tmp_path, rng):
+    """Square override sizes (small-shape test/bench configs) stay native."""
+    from lrp_imagecaptioning_tpu.data.images import ImagePreprocessor
+
+    paths = _write_images(tmp_path, rng)
+    pp = ImagePreprocessor(encoder="resnet50", image_size=(64, 64))
+    got = pp.preprocess_batch_paths([paths["png"]])
+    want = np.asarray(pp.preprocess_images([paths["png"]]), np.float32)
+    assert got.shape == (1, 64, 64, 3)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, native.load_batch([paths["png"]], 64, "caffe"))
