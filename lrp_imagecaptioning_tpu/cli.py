@@ -302,6 +302,34 @@ def cmd_serve(args):
     if getattr(args, "exported", None):
         from .infer.export import ExportedService
 
+        # fail at startup, not per-request (the non-exported path's
+        # svc.warmup(explain=..., method=...) contract): the artifact pins
+        # explain availability/method and batch/beam at export time —
+        # validate against meta.json BEFORE paying deserialize+warmup
+        import json as _json
+        import os as _os
+
+        with open(_os.path.join(args.exported, "meta.json")) as f:
+            meta = _json.load(f)
+        exported_method = meta.get("method")
+        if args.with_explain and not exported_method:
+            raise SystemExit(
+                "--with-explain: artifact was exported without explain "
+                "programs (re-export with --with-explain/--method)")
+        if args.with_explain and args.method and args.method != exported_method:
+            raise SystemExit(
+                f"--method {args.method}: artifact was exported with method "
+                f"{exported_method!r}")
+        for flag, val, default in (
+            ("--batch-size", args.batch_size, None),
+            ("--beam-size", args.beam_size, 3),
+            ("--mesh", getattr(args, "mesh", 0), 0),
+            ("--shard-words", getattr(args, "shard_words", False), False),
+        ):
+            if val != default:
+                print(f"warning: {flag} is fixed at export time; ignoring "
+                      f"(artifact: batch {meta['batch_size']}, "
+                      f"beam {meta['beam_size']})", flush=True)
         print(f"loading exported artifact {args.exported}...", flush=True)
         svc = ExportedService(args.exported)
         print(f"warmed in {svc.stats.get('warmup_s')}s "

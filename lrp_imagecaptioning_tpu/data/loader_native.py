@@ -69,6 +69,9 @@ def load_batch(paths: list[str], size: int = 224, mode: str = "caffe",
     lib = _lib()
     if lib is None:
         raise RuntimeError("native loader not built (make -C native)")
+    if mode not in _MODES or size <= 0:
+        raise ValueError(f"invalid size/mode: {size}, {mode!r} "
+                         f"(modes: {sorted(_MODES)})")
     n = len(paths)
     out = np.empty((n, size, size, 3), dtype=np.float32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])

@@ -60,7 +60,9 @@ def export_serving(captioner, params, caption_pp, out_dir: str, *,
         size = (299, 299)
 
     os.makedirs(out_dir, exist_ok=True)
-    imgs_spec = jnp.zeros((batch_size, size[0], size[1], 3), jnp.float32)
+    # abstract shape specs: jax.export traces symbolically, so no real
+    # buffers are allocated (and nothing concrete can leak into the trace)
+    imgs_spec = jax.ShapeDtypeStruct((batch_size, size[0], size[1], 3), jnp.float32)
 
     def decode(params, images):
         feat_grid = captioner.encode(params, images)
@@ -79,7 +81,7 @@ def export_serving(captioner, params, caption_pp, out_dir: str, *,
         ex = Explainer(captioner, params, caption_pp, method=method,
                        beam_size=beam_size, max_len=T,
                        word_buckets=word_buckets)
-        toks_spec = jnp.zeros((batch_size, T), jnp.int32)
+        toks_spec = jax.ShapeDtypeStruct((batch_size, T), jnp.int32)
         buckets = sorted({*ex._buckets, T})
         for w in buckets:
             import functools
@@ -140,17 +142,17 @@ class ExportedCaptioner:
         reps = np.concatenate([arr] + [arr[-1:]] * (self._B - n))
         return reps
 
+    def _n_explained(self, row) -> int:
+        from ..explain.engine import _n_explained
+
+        return _n_explained(row, self.meta["eos"])
+
     def _tokens_to_string(self, row) -> str:
         # CaptionService semantics: words only, no EOS sentinel appended
         # (the Explanation captions from explain() DO carry it, matching
         # Explainer.analyze*)
-        eos = self.meta["eos"]
-        words = []
-        for tok in row:
-            if tok == 0 or tok == eos:
-                break
-            words.append(self._word_of[int(tok)])
-        return " ".join(words)
+        n = self._n_explained(row)
+        return " ".join(self._word_of[int(tok)] for tok in row[:n])
 
     def _decode_chunk(self, chunk):
         tokens, _ = self._decode.call(self.params, self._pad(np.asarray(chunk, np.float32)))
@@ -174,32 +176,20 @@ class ExportedCaptioner:
             raise RuntimeError("artifact was exported without explain programs"
                                " (pass method= to export_serving)")
         images = np.asarray(images, np.float32)
-        eos = self.meta["eos"]
         out = []
         for i in range(0, images.shape[0], self._B):
             chunk = images[i:i + self._B]
             toks = self._decode_chunk(chunk)
-            n_max = 0
-            for row in toks:
-                n = 0
-                for tok in row:
-                    if tok == 0 or tok == eos:
-                        break
-                    n += 1
-                n_max = max(n_max, n)
+            n_max = max((self._n_explained(row) for row in toks), default=0)
             bucket = min((w for w in self._explain if w >= max(n_max, 1)),
                          default=self.meta["max_len"])
             toks_pad = self._pad(toks).astype(np.int32)
             maps, r_feat, r_words, atts, betas = self._explain[bucket].call(
                 self.params, self._pad(chunk), toks_pad)
             for b in range(chunk.shape[0]):
-                words, keep = [], []
-                for t, tok in enumerate(toks[b]):
-                    if tok == 0 or tok == eos:
-                        break
-                    words.append(self._word_of[int(tok)])
-                    keep.append(t)
-                keep = np.asarray(keep, np.int64)
+                n = self._n_explained(toks[b])
+                words = [self._word_of[int(tok)] for tok in toks[b][:n]]
+                keep = np.arange(n, dtype=np.int64)
                 out.append({
                     "caption": " ".join(words + [self.meta["eos_word"]]),
                     "words": words,
@@ -232,8 +222,14 @@ class ExportedService:
                              np.float32)
             t0 = time.time()
             self._ec.caption(dummy)
-            if self._ec._explain:
-                self._ec.explain(dummy)
+            # warm EVERY exported explain program (Explainer.warmup contract:
+            # no request pays compilation after warmup) — going through
+            # ExportedCaptioner.explain would only hit the one bucket the
+            # dummy captions land in
+            toks0 = np.zeros((self.meta["batch_size"], self.meta["max_len"]),
+                             np.int32)
+            for prog in self._ec._explain.values():
+                prog.call(self._ec.params, dummy, toks0)
             self.stats["warmup_s"] = round(time.time() - t0, 3)
 
     def dispatch(self, images, explain: bool = False, method: str = "lrp"):

@@ -31,8 +31,15 @@ def _cpu_fingerprint() -> str:
 
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-        return hashlib.sha1(flags.encode()).hexdigest()[:10]
+            lines = f.readlines()
+        # flags alone are NOT enough: two SKUs with identical cpuinfo flags
+        # can differ in LLVM-derived tuning features (+prefer-no-scatter /
+        # +prefer-no-gather are per-model preferences), and executing the
+        # foreign AOT artifact produced ~0.4% numerical drift that failed
+        # exactness tests (observed 2026-08-18). Key by model name + flags.
+        flags = next((l for l in lines if l.startswith("flags")), "")
+        model = next((l for l in lines if l.startswith("model name")), "")
+        return hashlib.sha1((model + flags).encode()).hexdigest()[:10]
     except OSError:
         return "nohost"
 

@@ -100,3 +100,48 @@ def test_exported_service_dispatch(artifact, rng):
     assert svc.stats["requests"] == 2 and svc.stats["images"] == 4
     with pytest.raises(ValueError):
         svc.dispatch(images, explain=True, method="gradient")
+
+
+def test_exported_service_warmup_covers_all_buckets(artifact, monkeypatch):
+    """ExportedService warmup must .call EVERY exported explain program
+    (Explainer.warmup contract: no request pays compilation after warmup),
+    not just the bucket the dummy batch lands in."""
+    from lrp_imagecaptioning_tpu.infer.export import ExportedService
+
+    out, _, _ = artifact
+    called = []
+
+    class Spy:
+        def __init__(self, prog, w):
+            self._prog, self._w = prog, w
+
+        def call(self, *a):
+            called.append(self._w)
+            return self._prog.call(*a)
+
+    def wrap_init(self, d, _real=ExportedCaptioner.__init__):
+        _real(self, d)
+        self._explain = {w: Spy(p, w) for w, p in self._explain.items()}
+
+    monkeypatch.setattr(ExportedCaptioner, "__init__", wrap_init)
+    ExportedService(out, warmup=True)
+    assert sorted(set(called)) == [2, 5]
+
+
+def test_serve_cli_validates_exported_artifact(artifact, tmp_path):
+    """cli serve --exported fails at STARTUP (not per-request) when the
+    requested configuration contradicts what the artifact was exported
+    with."""
+    from lrp_imagecaptioning_tpu import cli
+
+    out, cap, params = artifact
+    # artifact exported WITHOUT explain programs
+    bare = str(tmp_path / "bare")
+    export_serving(cap, params, PP(), bare, batch_size=3, beam_size=2)
+    with pytest.raises(SystemExit, match="without explain"):
+        cli.main(["serve", "--exported", bare, "--with-explain",
+                  "--dataset", "synthetic"])
+    # method mismatch against an lrp artifact
+    with pytest.raises(SystemExit, match="exported with method"):
+        cli.main(["serve", "--exported", out, "--with-explain",
+                  "--method", "gradient", "--dataset", "synthetic"])
