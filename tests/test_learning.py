@@ -1,16 +1,20 @@
-"""End-to-end LEARNING rehearsal: the framework actually learns to caption.
+"""End-to-end LEARNING rehearsal: the framework actually learns to caption —
+and its explanations point at the learned evidence.
 
 Every other training test asserts mechanics (finite losses, checkpoints,
-bit-equality across execution paths). This one asserts semantics: trained on
-the mini-Flickr30k fixture — whose captions name the colour of a drawn
-rectangle (data/minifixture.py) — the adaptive-attention model must (a) drive
-the teacher-forced loss down by >4x and (b) greedy-decode captions whose
-colour word matches the image content for most training images. That
-exercises the full reference workflow (train.py:686-716 semantics: joint
-encoder+decoder training, model.py:435 trainable=True) as a learnable
-signal, not just a smoke run.
+bit-equality across execution paths). These assert semantics on the
+mini-Flickr30k fixture, whose captions name the colour of a drawn rectangle
+(data/minifixture.py):
 
-CPU cost ~4 min at these shapes (64px images, hidden 48, 350 steps).
+* the teacher-forced loss collapses and greedy captions name the right
+  colour for most training images (the full reference workflow,
+  train.py:686-716 semantics: joint encoder+decoder training,
+  model.py:435 trainable=True);
+* teacher-forced explanations of the trained model are well-formed (the
+  geometric bbox-concentration property is deliberately NOT asserted — see
+  the second test's note and experiments/relevance_geometry_probe.py).
+
+One shared 350-step training run (~4 min CPU at 64px/hidden-48) feeds both.
 """
 
 import numpy as np
@@ -35,9 +39,9 @@ T = 12
 STEPS = 350
 
 
-@pytest.mark.slow
-def test_model_learns_to_caption_colours(tmp_path):
-    root = str(tmp_path / "mini")
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mini"))
     write_mini_flickr30k(root)
     cfg = FlickrConfig(
         dataset_root=root, embedding_dim=32, hidden_dim=48, sentence_length=T,
@@ -64,27 +68,78 @@ def test_model_learns_to_caption_colours(tmp_path):
             first = float(m["loss"])
         last = float(m["loss"])
 
-    # (a) the teacher-forced loss collapses (measured: 2.84 -> ~0.31 by 300)
-    assert last < 0.25 * first, (first, last)
-
-    # (b) greedy captions name the drawn rectangle's colour on at least half
-    # of the 8 unique training images (measured: 6/8 at 300 steps; threshold
-    # leaves margin for cross-host reduction-order drift)
-    pp = prov.caption_preprocessor
     seen, datums = set(), []
     for d in ds.training_set:
         if d.img_filename not in seen:
             seen.add(d.img_filename)
             datums.append(d)
+    return cfg, ds, prov, cap, params, datums, first, last
+
+
+def _scene(datum):
+    table = {s[0]: (s[1], s[2], s[3]) for s in _SCENES}
+    return table[datum.img_filename.split(".")[0]]
+
+
+@pytest.mark.slow
+def test_model_learns_to_caption_colours(trained):
+    cfg, ds, prov, cap, params, datums, first, last = trained
+
+    # (a) the teacher-forced loss collapses (measured: 2.84 -> ~0.35 by 350)
+    assert last < 0.25 * first, (first, last)
+
+    # (b) greedy captions name the drawn rectangle's colour on at least half
+    # of the 8 unique training images (measured: 6/8 at 350 steps; threshold
+    # leaves margin for cross-host reduction-order drift)
+    pp = prov.caption_preprocessor
     ip = ImagePreprocessor(encoder=cfg.img_encoder, image_size=cfg.image_size)
     imgs = ip.preprocess_batch_paths([d.img_path for d in datums])
     feat = cap.encode(params, jnp.asarray(imgs))
     toks, _ = greedy_decode(cap, params, feat, pp.SOS_TOKEN_LABEL_ENCODED,
                             pp.EOS_TOKEN_LABEL_ENCODED, T)
-    scene_of = {s[0]: (s[1], s[2]) for s in _SCENES}
     hits = []
     for d, row in zip(datums, np.asarray(toks)):
         words = [pp.word_of.get(int(t), "?") for t in row if t > 0]
-        _, colour = scene_of[d.img_filename.split(".")[0]]
+        _, colour, _ = _scene(d)
         hits.append(colour in words)
     assert sum(hits) >= len(hits) // 2, list(zip([d.img_filename for d in datums], hits))
+
+
+@pytest.mark.slow
+def test_teacher_forced_explanations_run_on_trained_model(trained):
+    """Explanations of the trained model under teacher-forced ground-truth
+    tokens are well-formed (finite, non-degenerate, word-aligned).
+
+    NOTE a stronger geometric assertion (colour-word relevance concentrating
+    inside the drawn rectangle) was prototyped and measured: it HOLDS in one
+    environment (in/out mean-|relevance| ratios 19-54x on 6/8 images,
+    experiments/relevance_geometry_probe.py) but at this toy scale the
+    learned evidence geometry is a property of which minimum training lands
+    in — a numerically different environment (8-virtual-device CPU codegen)
+    converged to a model with correct captions whose colour evidence sits
+    OUTSIDE the box. Asserting geometry here would test the trained model,
+    not the framework; the probe script records the methodology for real
+    checkpoints, where evaluate-bbox is the protocol."""
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    cfg, ds, prov, cap, params, datums, _, _ = trained
+    pp = prov.caption_preprocessor
+    ex = Explainer(cap, params, pp, method="lrp", beam_size=2, max_len=T,
+                   word_buckets=(4, 8))
+    ip = ImagePreprocessor(encoder=cfg.img_encoder, image_size=cfg.image_size)
+
+    d = datums[0]
+    img = ip.preprocess_batch_paths([d.img_path])[0]
+    _, colour, _ = _scene(d)
+    # teacher-forced tokens: ground-truth caption, SOS stripped, pad to T
+    enc = pp.encode_captions([d.all_captions_txt[0]])[0]
+    toks = np.zeros(T, np.int32)
+    body = enc[1:]
+    toks[: min(T, len(body))] = body[:T]
+    e = ex.analyze(img, tokens_1based=toks)
+    assert colour in e.words
+    assert e.relevance_maps.shape == (len(e.words), *cfg.image_size, 3)
+    hm = np.abs(np.asarray(e.relevance_maps[e.words.index(colour)]))
+    assert np.isfinite(hm).all() and hm.max() > 0
+    # non-degenerate: relevance is spatially structured, not constant
+    assert hm.sum(-1).std() > 1e-6 * hm.sum(-1).mean()
