@@ -36,10 +36,14 @@ def _cpu_fingerprint() -> str:
         # can differ in LLVM-derived tuning features (+prefer-no-scatter /
         # +prefer-no-gather are per-model preferences), and executing the
         # foreign AOT artifact produced ~0.4% numerical drift that failed
-        # exactness tests (observed 2026-08-18). Key by model name + flags.
-        flags = next((l for l in lines if l.startswith("flags")), "")
-        model = next((l for l in lines if l.startswith("model name")), "")
-        return hashlib.sha1((model + flags).encode()).hexdigest()[:10]
+        # exactness tests (observed 2026-08-18). The VM's model name is the
+        # GENERIC "Intel(R) Xeon(R) Processor @ 2.10GHz" on every host, so
+        # key by family/model/stepping — the cpuid fields LLVM's host CPU
+        # detection actually derives those preferences from — plus flags.
+        keys = ("cpu family", "model", "stepping", "model name", "flags")
+        ident = "".join(next((l for l in lines if l.startswith(k)), "")
+                        for k in keys)
+        return hashlib.sha1(ident.encode()).hexdigest()[:10]
     except OSError:
         return "nohost"
 
