@@ -128,6 +128,43 @@ def test_exported_service_warmup_covers_all_buckets(artifact, monkeypatch):
     assert sorted(set(called)) == [2, 5]
 
 
+def test_http_front_end_over_exported_service(artifact, rng):
+    """The HTTP front-end serves caption AND explain straight from a
+    StableHLO artifact (the `lrpic serve --exported` deployment shape)."""
+    import io
+    import json
+    import urllib.request
+
+    from lrp_imagecaptioning_tpu.infer import CaptionHTTPServer
+    from lrp_imagecaptioning_tpu.infer.export import ExportedService
+
+    out, _, _ = artifact
+    svc = ExportedService(out, warmup=False)
+    srv = CaptionHTTPServer(svc, port=0).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/caption", data=json.dumps({"images": imgs.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            caps = json.load(r)["captions"]
+        assert caps == ExportedCaptioner(out).caption(imgs)
+
+        req = urllib.request.Request(
+            f"{base}/explain?method=lrp",
+            data=json.dumps({"images": imgs.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "application/x-npz"
+            z = np.load(io.BytesIO(r.read()), allow_pickle=False)
+        assert str(z["caption_0"]).endswith("zeros")
+        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert np.isfinite(z["relevance_maps_0"]).all()
+    finally:
+        srv.stop()
+
+
 def test_serve_cli_validates_exported_artifact(artifact, tmp_path):
     """cli serve --exported fails at STARTUP (not per-request) when the
     requested configuration contradicts what the artifact was exported
