@@ -165,6 +165,30 @@ def test_http_front_end_over_exported_service(artifact, rng):
         srv.stop()
 
 
+def test_grpc_front_end_over_exported_service(artifact, rng):
+    """The gRPC front-end serves caption + explain from a StableHLO artifact
+    (the `lrpic serve --exported --transport grpc` deployment shape)."""
+    pytest.importorskip("grpc")
+    from lrp_imagecaptioning_tpu.infer import CaptionGrpcClient, CaptionGrpcServer
+    from lrp_imagecaptioning_tpu.infer.export import ExportedService
+
+    out, _, _ = artifact
+    svc = ExportedService(out, warmup=False)
+    srv = CaptionGrpcServer(svc, port=0).start()
+    try:
+        client = CaptionGrpcClient(f"127.0.0.1:{srv.port}")
+        assert client.health() is True
+        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        caps = client.caption(imgs)
+        assert caps == ExportedCaptioner(out).caption(imgs)
+        z = client.explain(imgs, "lrp")
+        assert str(z["caption_0"]).endswith("zeros")
+        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert np.isfinite(np.asarray(z["relevance_maps_0"], np.float32)).all()
+    finally:
+        srv.stop()
+
+
 def test_serve_cli_validates_exported_artifact(artifact, tmp_path):
     """cli serve --exported fails at STARTUP (not per-request) when the
     requested configuration contradicts what the artifact was exported
