@@ -278,15 +278,18 @@ class CaptionService:
             self._dispatch_queue_batch(leftovers)
 
     def _dispatch_queue_batch(self, batch):
-        # split by endpoint: captions batch together, explanations together
-        for want_explain in (False, True):
-            group = [b for b in batch if b[1] == want_explain]
-            if not group:
-                continue
+        # split by endpoint AND method: captions batch together, explanations
+        # batch per analyzer method (coalescing a ?method=gradient request
+        # into an lrp batch would silently answer it with the wrong analyzer)
+        groups = {}
+        for b in batch:
+            key = (True, b[2]) if b[1] else (False, None)
+            groups.setdefault(key, []).append(b)
+        for (want_explain, method), group in groups.items():
             images = np.stack([g[0] for g in group])
             try:
                 if want_explain:
-                    results = self.explain(images, method=group[0][2])
+                    results = self.explain(images, method=method)
                 else:
                     results = self.caption(images)
                 for (_, _, _, fut), res in zip(group, results):

@@ -140,6 +140,52 @@ def test_caption_service_explain_and_queue(rng):
     assert captions[0] == direct
 
 
+def test_queue_groups_explain_by_method(rng):
+    """The micro-batcher must NOT coalesce explain requests with different
+    analyzer methods into one dispatch (a ?method=gradient request answered
+    with lrp maps would be silently wrong). Pinned by stubbing the endpoints
+    so no device work runs."""
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1)
+
+    calls = []
+    svc.explain = lambda images, method="lrp": (
+        calls.append(("explain", method, images.shape[0])),
+        [f"{method}-{i}" for i in range(images.shape[0])],
+    )[1]
+    svc.caption = lambda images: (
+        calls.append(("caption", None, images.shape[0])),
+        [f"cap-{i}" for i in range(images.shape[0])],
+    )[1]
+
+    img = rng.normal(size=(8, 8, 3)).astype(np.float32)
+    batch = [
+        (img, False, "lrp", None),
+        (img, True, "lrp", None),
+        (img, True, "gradient", None),
+        (img, True, "lrp", None),
+    ]
+    from concurrent.futures import Future
+
+    batch = [(im, ex, m, Future()) for im, ex, m, _ in batch]
+    svc._dispatch_queue_batch(batch)
+
+    assert sorted(calls) == [
+        ("caption", None, 1),
+        ("explain", "gradient", 1),
+        ("explain", "lrp", 2),
+    ]
+    # each future resolved with its own group's result
+    assert batch[0][3].result(timeout=1) == "cap-0"
+    assert batch[1][3].result(timeout=1) == "lrp-0"
+    assert batch[2][3].result(timeout=1) == "gradient-0"
+    assert batch[3][3].result(timeout=1) == "lrp-1"
+
+
 def test_caption_http_server(rng):
     """stdlib HTTP front-end: JSON caption, npy explain, stats, errors."""
     import io
