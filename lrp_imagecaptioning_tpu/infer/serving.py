@@ -97,7 +97,8 @@ class CaptionService:
         else:
             self._decode = jax.jit(decode)
         self._compiled = None
-        self._explainer = None
+        self._explainers = {}          # method -> Explainer (kept warm)
+        self._explainer_lock = threading.Lock()
         self._queue = None
         self._queue_thread = None
 
@@ -122,16 +123,23 @@ class CaptionService:
         return self
 
     def _get_explainer(self, method: str = "lrp"):
-        if self._explainer is None or self._explainer.method != method:
-            from ..explain.engine import Explainer
+        # one Explainer PER METHOD, built under a lock: a single shared slot
+        # would (a) race under the threaded front-ends (a ?method=lrp request
+        # could be answered by a concurrently-assigned gradient explainer) and
+        # (b) discard all warmed/compiled programs on every method switch
+        with self._explainer_lock:
+            ex = self._explainers.get(method)
+            if ex is None:
+                from ..explain.engine import Explainer
 
-            self._explainer = Explainer(
-                self.captioner, self.params, self._pp, method=method,
-                beam_size=self._beam, max_len=self._T,
-                storage_dtype=self._storage_dtype, mesh=self._mesh,
-                shard_words=self._shard_words,
-            )
-        return self._explainer
+                ex = Explainer(
+                    self.captioner, self.params, self._pp, method=method,
+                    beam_size=self._beam, max_len=self._T,
+                    storage_dtype=self._storage_dtype, mesh=self._mesh,
+                    shard_words=self._shard_words,
+                )
+                self._explainers[method] = ex
+            return ex
 
     def caption(self, images: np.ndarray) -> list[str]:
         """images: (N, 224, 224, 3) preprocessed, N <= batch_size (padded up)."""
@@ -278,23 +286,35 @@ class CaptionService:
             self._dispatch_queue_batch(leftovers)
 
     def _dispatch_queue_batch(self, batch):
-        # split by endpoint AND method: captions batch together, explanations
-        # batch per analyzer method (coalescing a ?method=gradient request
-        # into an lrp batch would silently answer it with the wrong analyzer)
+        # split by endpoint AND method AND image shape: captions batch
+        # together, explanations batch per analyzer method (coalescing a
+        # ?method=gradient request into an lrp batch would silently answer
+        # it with the wrong analyzer); differing resolutions cannot np.stack.
+        # Keys must never raise (an unhashable client-supplied method or a
+        # ragged shape would otherwise kill the batcher thread and strand
+        # every pending future), so method is stringified and shape derives
+        # from np.shape. Caption groups dispatch FIRST: they are cheap, and
+        # making them wait on a multi-second explain group would regress the
+        # common endpoint's latency under mixed load.
         groups = {}
         for b in batch:
-            key = (True, b[2]) if b[1] else (False, None)
+            key = ((1, str(b[2])) if b[1] else (0, None)) + (np.shape(b[0]),)
             groups.setdefault(key, []).append(b)
-        for (want_explain, method), group in groups.items():
-            images = np.stack([g[0] for g in group])
+        for (want_explain, method, _), group in sorted(
+                groups.items(), key=lambda kv: kv[0]):
             try:
+                images = np.stack([g[0] for g in group])
                 if want_explain:
                     results = self.explain(images, method=method)
                 else:
                     results = self.caption(images)
+                if len(results) != len(group):
+                    raise RuntimeError(
+                        f"dispatch returned {len(results)} results for "
+                        f"{len(group)} requests")
                 for (_, _, _, fut), res in zip(group, results):
                     fut.set_result(res)
-            except Exception as e:  # pragma: no cover - propagate to callers
+            except Exception as e:  # propagate to callers, keep the thread
                 for _, _, _, fut in group:
                     if not fut.done():
                         fut.set_exception(e)

@@ -153,14 +153,19 @@ def test_queue_groups_explain_by_method(rng):
     svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1)
 
     calls = []
-    svc.explain = lambda images, method="lrp": (
-        calls.append(("explain", method, images.shape[0])),
-        [f"{method}-{i}" for i in range(images.shape[0])],
-    )[1]
-    svc.caption = lambda images: (
-        calls.append(("caption", None, images.shape[0])),
-        [f"cap-{i}" for i in range(images.shape[0])],
-    )[1]
+
+    def fake_explain(images, method="lrp"):
+        if method not in ("lrp", "gradient"):  # real Explainer raises too
+            raise ValueError(f"method {method!r} not supported")
+        calls.append(("explain", method, images.shape[0]))
+        return [f"{method}-{i}" for i in range(images.shape[0])]
+
+    def fake_caption(images):
+        calls.append(("caption", None, images.shape[0]))
+        return [f"cap-{i}" for i in range(images.shape[0])]
+
+    svc.explain = fake_explain
+    svc.caption = fake_caption
 
     img = rng.normal(size=(8, 8, 3)).astype(np.float32)
     batch = [
@@ -184,6 +189,25 @@ def test_queue_groups_explain_by_method(rng):
     assert batch[1][3].result(timeout=1) == "lrp-0"
     assert batch[2][3].result(timeout=1) == "gradient-0"
     assert batch[3][3].result(timeout=1) == "lrp-1"
+
+    # caption group dispatches before explain groups (cheap endpoint first)
+    assert calls[0][0] == "caption"
+
+    # hostile inputs must resolve every future (exception, not a stranded
+    # future from a dead batcher thread): unhashable method objects and
+    # mixed image shapes in one linger window
+    calls.clear()
+    img2 = rng.normal(size=(4, 4, 3)).astype(np.float32)
+    hostile = [
+        (img, True, ["lrp"], Future()),       # unhashable pre-fix
+        (img, False, "lrp", Future()),
+        (img2, False, "lrp", Future()),       # different shape: own group
+    ]
+    svc._dispatch_queue_batch(hostile)
+    assert isinstance(hostile[0][3].exception(timeout=1), ValueError)
+    assert hostile[1][3].result(timeout=1) == "cap-0"
+    assert hostile[2][3].result(timeout=1) == "cap-0"
+    assert calls == [("caption", None, 1), ("caption", None, 1)]
 
 
 def test_caption_http_server(rng):
