@@ -76,9 +76,12 @@ class DatasetProvider:
 
     # -- generators -------------------------------------------------------
 
-    def training_set(self, include_datum=False, pad_to_length=None):
+    def training_set(self, include_datum=False, pad_to_length=None,
+                     skip_batches=0, drop_remainder=False):
         yield from self._batch_generator(
-            self.dataset.training_set, include_datum, random_transform=True, pad_to_length=pad_to_length
+            self.dataset.training_set, include_datum, random_transform=True,
+            pad_to_length=pad_to_length, skip_batches=skip_batches,
+            drop_remainder=drop_remainder,
         )
 
     def validation_set(self, include_datum=False, pad_to_length=None):
@@ -91,17 +94,36 @@ class DatasetProvider:
             self.dataset.test_set, include_datum, random_transform=False, pad_to_length=pad_to_length
         )
 
-    def _batch_generator(self, datum_list, include_datum, random_transform, pad_to_length=None):
+    def _batch_generator(self, datum_list, include_datum, random_transform,
+                         pad_to_length=None, skip_batches=0, drop_remainder=False):
+        """``skip_batches``: fast-forward past the first N batches WITHOUT
+        preprocessing them (resume support — pulling skipped batches through
+        image decode/resize only to discard them costs hours at scale).
+        ``drop_remainder``: skip the short epoch-tail batch so every yield
+        has the static batch size (jit / mesh-divisibility requirement)."""
         datum_list = list(datum_list)
+        to_skip = int(skip_batches)
+
+        def emit(batch):
+            nonlocal to_skip
+            if to_skip > 0:
+                to_skip -= 1
+                return None
+            return self._preprocess_batch(batch, include_datum, random_transform, pad_to_length)
+
         while True:
             batch = []
             for datum in datum_list:
                 batch.append(datum)
                 if len(batch) >= self.batch_size:
-                    yield self._preprocess_batch(batch, include_datum, random_transform, pad_to_length)
+                    out = emit(batch)
+                    if out is not None:
+                        yield out
                     batch = []
-            if batch:
-                yield self._preprocess_batch(batch, include_datum, random_transform, pad_to_length)
+            if batch and not drop_remainder:
+                out = emit(batch)
+                if out is not None:
+                    yield out
 
     def _preprocess_batch(self, datum_batch, include_datum, random_transform, pad_to_length=None):
         imgs_input = self.image_preprocessor.preprocess_batch_paths(

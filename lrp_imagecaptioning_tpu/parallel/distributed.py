@@ -32,14 +32,22 @@ from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 
 def initialize_distributed(coordinator_address: str | None = None,
                            num_processes: int | None = None,
-                           process_id: int | None = None) -> int:
+                           process_id: int | None = None,
+                           auto: bool = False) -> int:
     """Join (or skip joining) the multi-process JAX runtime.
 
     With no arguments in a single-process environment this is a no-op that
-    returns 1. On a pod slice, pass the coordinator's ``host:port`` (and, off
-    TPU, the process count/id); after this, ``jax.devices()`` is global and
+    returns 1 (``jax.process_count()`` is always 1 before initialization, so
+    a no-arg call can NOT auto-detect a pod slice — that would make every
+    single-host run fail). On a pod slice either pass the coordinator's
+    ``host:port`` (and, off TPU, the process count/id) or pass ``auto=True``
+    to run jax's no-arg environment auto-detection (Cloud TPU metadata /
+    SLURM); after this, ``jax.devices()`` is global and
     ``jax.local_devices()`` is this host's chips.
     """
+    if auto and coordinator_address is None:
+        jax.distributed.initialize()
+        return jax.process_count()
     if coordinator_address is None and jax.process_count() == 1:
         return 1
     if coordinator_address is not None:
@@ -96,8 +104,10 @@ def process_batch_slice(global_batch: int,
                         process_count: int | None = None) -> slice:
     """Which rows of the global batch this process should load.
 
-    Contiguous equal split (global_batch must divide evenly — the provider
-    already pads ragged tails to the batch size)."""
+    Contiguous equal split. ``global_batch`` must divide evenly by the
+    process count: the provider does NOT pad ragged epoch tails (it yields
+    the short remainder, data/provider.py::_batch_generator), so multihost
+    loaders should size epochs to full batches or drop the remainder."""
     pi = jax.process_index() if process_index is None else process_index
     pc = max(jax.process_count() if process_count is None else process_count, 1)
     if global_batch % pc:

@@ -43,6 +43,14 @@ def make_mesh(n_devices: int | None = None, model_parallel: int = 1,
             except RuntimeError:
                 pass
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # silently returning a smaller mesh would e.g. run an "8-way"
+            # job 4-way with doubled per-device batch and no indication
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available (default and CPU "
+                f"backends); set --xla_force_host_platform_device_count "
+                f"for virtual CPU devices")
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel:

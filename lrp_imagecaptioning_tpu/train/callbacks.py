@@ -20,18 +20,27 @@ from datetime import timedelta
 
 
 class CSVLog:
-    def __init__(self, path: str):
+    def __init__(self, path: str, append: bool = False):
+        """``append=True`` (resumed runs) keeps the existing rows and reuses
+        the file's header columns instead of truncating the history."""
         self._path = path
         self._writer = None
         self._file = None
+        self._append = append and os.path.isfile(path) and os.path.getsize(path) > 0
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
     def on_epoch_end(self, epoch: int, logs: dict):
         logs = {"epoch": epoch, **logs}
         if self._writer is None:
-            self._file = open(self._path, "w", newline="")
-            self._writer = csv.DictWriter(self._file, fieldnames=list(logs))
-            self._writer.writeheader()
+            if self._append:
+                with open(self._path, newline="") as f:
+                    fields = next(csv.reader(f), None) or list(logs)
+                self._file = open(self._path, "a", newline="")
+                self._writer = csv.DictWriter(self._file, fieldnames=fields)
+            else:
+                self._file = open(self._path, "w", newline="")
+                self._writer = csv.DictWriter(self._file, fieldnames=list(logs))
+                self._writer.writeheader()
         self._writer.writerow({k: logs.get(k, "") for k in self._writer.fieldnames})
         self._file.flush()
 

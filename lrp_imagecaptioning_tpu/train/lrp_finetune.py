@@ -353,7 +353,8 @@ class LRPFinetuner:
                 make_multi_lrp_finetune_step(*step_args, **step_kw)
                 if self._steps_per_call > 1 else None
             )
-        self._rng = jax.random.PRNGKey(seed)
+        self._base_rng = jax.random.PRNGKey(seed)
+        self._rng = self._base_rng
         self._T = captioner.cfg.sentence_length + 1
 
     def _place(self, arr):
@@ -373,15 +374,19 @@ class LRPFinetuner:
     def run(self, save_idx: int, epoch_length: int, result_dir: str = "results/lrp-finetune"):
         """Run ``epoch_length`` iterations, fast-forwarding the generator by
         save_idx*epoch_length batches like the reference resume
-        (train.py:563-564), then save."""
+        (train.py:563-564) — but WITHOUT preprocessing the skipped batches
+        (the provider advances its datum cursor; decoding thousands of images
+        only to discard them would cost hours at reference scale). The
+        dropout stream is keyed by the chunk index so resumed chunks do not
+        replay chunk 0's RNG sequence."""
         from ..data.prefetch import prefetch
         from .checkpoint import save_checkpoint
 
         from .step import run_stepped_steps
 
-        gen = prefetch(self.provider.training_set(pad_to_length=self._T))
-        for _ in range(save_idx * epoch_length):
-            next(gen)
+        self._rng = jax.random.fold_in(self._base_rng, save_idx)
+        gen = prefetch(self.provider.training_set(
+            pad_to_length=self._T, skip_batches=save_idx * epoch_length))
         # metrics stay device-side until the chunk ends (no per-step sync)
         acc = {"loss": [], "accuracy": []}
 

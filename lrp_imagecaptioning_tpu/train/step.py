@@ -105,13 +105,24 @@ def run_stepped_steps(generator, steps, K, place, split_rng, multi_fn, single_fn
         k = min(K, steps - done)
         if k == K and K > 1:
             batches = [next(generator) for _ in range(K)]
-            imgs = place_stacked(np.stack([b[0][1] for b in batches]))
-            cap_in = place_stacked(np.stack([b[0][0] for b in batches]))
-            y = place_stacked(np.stack([b[1] for b in batches]))
-            params, opt_state, m = multi_fn(params, opt_state, imgs, cap_in, y,
-                                            split_rng(K))
-            record(m)
-            done += K
+            # a ragged tail BATCH (dataset_size % batch_size != 0 puts a short
+            # batch inside the epoch) cannot np.stack with full ones — run
+            # those K batches as singles instead of crashing mid-epoch
+            if len({b[0][1].shape[0] for b in batches}) == 1:
+                imgs = place_stacked(np.stack([b[0][1] for b in batches]))
+                cap_in = place_stacked(np.stack([b[0][0] for b in batches]))
+                y = place_stacked(np.stack([b[1] for b in batches]))
+                params, opt_state, m = multi_fn(params, opt_state, imgs, cap_in, y,
+                                                split_rng(K))
+                record(m)
+                done += K
+                continue
+            for (cap_in, imgs), y in batches:
+                params, opt_state, m = single_fn(params, opt_state, place(imgs),
+                                                 place(cap_in), place(y),
+                                                 split_rng(1)[0])
+                record(m)
+                done += 1
             continue
         (cap_in, imgs), y = next(generator)
         params, opt_state, m = single_fn(params, opt_state, place(imgs),

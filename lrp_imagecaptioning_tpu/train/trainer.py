@@ -38,13 +38,23 @@ from .step import (
 )
 
 
+_TIME_UNITS = ("seconds", "minutes", "hours", "days", "weeks")
+
+
 def parse_timedelta(s: Optional[str]) -> Optional[timedelta]:
     """'12 hours' / '30 minutes' / '1 day' (the reference passes
     dateutil-style strings, train.py:29)."""
     if not s:
         return None
-    num, unit = s.split()[0], s.split()[1].rstrip("s")
-    return timedelta(**{unit + "s": float(num)})
+    parts = s.split()
+    if len(parts) != 2:
+        raise ValueError(
+            f"time_limit must be '<number> <unit>' (e.g. '12 hours'), got {s!r}")
+    unit = parts[1].rstrip("s") + "s"
+    if unit not in _TIME_UNITS:
+        raise ValueError(
+            f"time_limit unit must be one of {_TIME_UNITS}, got {parts[1]!r}")
+    return timedelta(**{unit: float(parts[0])})
 
 
 class Trainer:
@@ -63,6 +73,10 @@ class Trainer:
         # global batch (parallel/distributed.py::process_batch_slice); batches
         # are assembled into global arrays with no cross-host gather.
         # Single-process this is bit-identical to the plain path.
+        if multihost and mesh is None:
+            # silently degrading to single-host placement would train each
+            # process on its own data fraction with no gradient sync
+            raise ValueError("multihost=True requires a mesh (make_multihost_mesh)")
         self._multihost = multihost and mesh is not None
         self._eval_metrics = eval_metrics
 
@@ -118,6 +132,7 @@ class Trainer:
             "training-results", label,
         )
         os.makedirs(self.result_dir, exist_ok=True)
+        self._initial_epoch = 0  # advanced by resume_latest()
 
     def _place(self, arr):
         if self._multihost:
@@ -156,10 +171,20 @@ class Trainer:
         return self
 
     def resume_latest(self) -> bool:
+        """Restore the newest checkpoint AND its epoch number, so a resumed
+        ``run()`` continues the epoch numbering (checkpoints after resume
+        would otherwise restart at ckpt_00 and rank BELOW the stale
+        pre-resume checkpoint in ``latest_checkpoint``) and appends to the
+        existing metrics CSV instead of truncating it."""
+        import re
+
         ckpt = latest_checkpoint(self.result_dir)
         if ckpt is None:
             return False
         self.load_weights(ckpt)
+        m = re.match(r"ckpt_(\d+)", os.path.basename(ckpt))
+        if m:
+            self._initial_epoch = int(m.group(1)) + 1
         return True
 
     # -- loop --------------------------------------------------------------
@@ -210,15 +235,27 @@ class Trainer:
         # (GeneratorEnqueuer equivalent, inference.py:63-92)
         train_gen = prefetch(self.provider.training_set(pad_to_length=T))
         val_gen = prefetch(self.provider.validation_set(pad_to_length=T))
-        csv_log = CSVLog(os.path.join(self.result_dir, "metrics-log.csv"))
+        # resumed runs append to the existing CSV history rather than wiping it
+        csv_log = CSVLog(os.path.join(self.result_dir, "metrics-log.csv"),
+                         append=self._initial_epoch > 0)
         plateau = ReduceLROnPlateau(
             monitor="val_cider", factor=cfg.reduce_lr_factor, patience=cfg.reduce_lr_patience
         )
         time_stop = StopAfterTimedelta(tl)
         explode_stop = StopWhenValLossExploding()
 
+        # built ONCE: a fresh BasicInference per epoch would re-jit (and so
+        # re-compile) the greedy-decode scan every epoch; params are updated
+        # on the instance before each eval instead
+        inference = BasicInference(
+            self.captioner, self.params, self.provider,
+            max_caption_length=cfg.sentence_length,
+        ) if self._eval_metrics else None
+
         history = []
-        epoch = 0
+        # resumed runs continue the numbering (Keras initial_epoch semantics:
+        # `epochs` is the TOTAL target, so epochs <= initial_epoch runs none)
+        epoch = self._initial_epoch
         while epochs is None or epoch < epochs:
             ts_start = time.time()
             steps = steps_per_epoch or self.provider.training_steps
@@ -226,14 +263,11 @@ class Trainer:
             val = self._epoch(val_gen, self.provider.validation_steps, training=False)
             logs.update({f"val_{k}": v for k, v in val.items()})
 
-            if self._eval_metrics:
+            if inference is not None:
                 # LogMetrics: full caption-metric eval on the test split each
                 # epoch; these drive the LR schedule + ckpt names
                 # (callbacks.py:37-70, train.py:276-277)
-                inference = BasicInference(
-                    self.captioner, self.params, self.provider,
-                    max_caption_length=cfg.sentence_length,
-                )
+                inference.params = self.params
                 metrics = inference.evaluate_test_set()
                 logs.update({f"val_{k.lower()}": v for k, v in metrics.items()})
 

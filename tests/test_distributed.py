@@ -391,3 +391,23 @@ def test_word_sharded_analyze_gridtd(rng):
     np.testing.assert_allclose(eb.relevance_maps, ea.relevance_maps,
                                rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(eb.betas, ea.betas, rtol=2e-4, atol=2e-6)
+
+
+def test_make_mesh_insufficient_devices_raises():
+    """Requesting more devices than exist must raise, not silently shrink."""
+    with pytest.raises(ValueError, match="only"):
+        make_mesh(1024)
+
+
+def test_trainer_multihost_requires_mesh(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from lrp_imagecaptioning_tpu.config import FlickrConfig
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.train.trainer import Trainer
+
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, sentence_length=5,
+                       batch_size=4, rare_words_handling="nothing")
+    ds = SyntheticDataset(cfg, n_train=4, n_val=2, n_test=2,
+                          cache_dir=str(tmp_path / "imgs"))
+    with pytest.raises(ValueError, match="multihost"):
+        Trainer("adaptiveattention", cfg, ds, multihost=True)

@@ -509,3 +509,30 @@ def test_bf16_mixed_precision_train_step(rng):
                                   jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(new_params))
+
+
+def test_run_stepped_steps_ragged_tail_batch():
+    """A short tail BATCH (dataset % batch_size != 0) inside a K-stack must
+    fall back to single steps, not crash np.stack mid-epoch."""
+    from lrp_imagecaptioning_tpu.train.step import run_stepped_steps
+
+    sizes = [4, 4, 4, 2, 4, 4]  # ragged tail lands inside the second pair
+
+    def gen():
+        for s in sizes:
+            yield ((np.zeros((s, 3)), np.zeros((s, 2))), np.zeros((s, 5)))
+
+    calls = []
+
+    def multi_fn(p, o, imgs, cap, y, rngs):
+        calls.append(("multi", imgs.shape[1]))
+        return p, o, {"loss": np.zeros(imgs.shape[0])}
+
+    def single_fn(p, o, imgs, cap, y, rng):
+        calls.append(("single", imgs.shape[0]))
+        return p, o, {"loss": 0.0}
+
+    run_stepped_steps(gen(), len(sizes), 2, lambda a: a,
+                      lambda n: np.zeros(n), multi_fn, single_fn,
+                      None, None, lambda m: None)
+    assert calls == [("multi", 4), ("single", 4), ("single", 2), ("multi", 4)]

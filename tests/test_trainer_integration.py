@@ -16,6 +16,33 @@ def test_parse_timedelta():
     assert parse_timedelta("12 hours").total_seconds() == 12 * 3600
     assert parse_timedelta("30 minutes").total_seconds() == 1800
     assert parse_timedelta(None) is None
+    # malformed strings raise with the expected format, not IndexError
+    with pytest.raises(ValueError, match="number.*unit"):
+        parse_timedelta("12h")
+    with pytest.raises(ValueError, match="unit"):
+        parse_timedelta("2 fortnights")
+
+
+def test_csvlog_append(tmp_path):
+    """Resumed runs append to the metrics CSV instead of truncating it."""
+    import csv
+
+    from lrp_imagecaptioning_tpu.train.callbacks import CSVLog
+
+    path = str(tmp_path / "m.csv")
+    log = CSVLog(path)
+    log.on_epoch_end(0, {"loss": 1.0})
+    log.on_epoch_end(1, {"loss": 0.5})
+    log.close()
+
+    resumed = CSVLog(path, append=True)
+    resumed.on_epoch_end(2, {"loss": 0.25, "extra": 9})  # extra col ignored
+    resumed.close()
+
+    with open(path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["0", "1", "2"]
+    assert rows[2]["loss"] == "0.25"
 
 
 @pytest.mark.slow
@@ -42,9 +69,13 @@ def test_trainer_two_epochs(tmp_path, monkeypatch):
 
     assert latest_checkpoint(trainer.result_dir) is not None
 
-    # resume restores the latest checkpoint
+    # resume restores the latest checkpoint AND continues epoch numbering
+    # (post-resume checkpoints must outrank the pre-resume ones)
     t2 = Trainer("adaptiveattention", cfg, ds, label="itest")
     assert t2.resume_latest()
+    assert t2._initial_epoch == 2
+    # Keras initial_epoch semantics: `epochs` is the total target
+    assert t2.run(epochs=2) == []
 
 
 @pytest.mark.slow
