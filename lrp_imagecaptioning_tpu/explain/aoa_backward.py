@@ -112,8 +112,15 @@ def explain_word_aoa(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
         r_global[None, :].repeat(L, 0), consts.v_feat / L, consts.global_feat[None, :].repeat(L, 0)
     )
     r_vfeat = r_vfeat_from_hat + r_vfeat_from_glob            # (L, H)
-    # refinement blocks + LayerNorm pass identity; image_features dense
-    r_feat = lrp_linear(r_vfeat, consts.feat_grid, consts.v_pre, params["image_features"]["kernel"])
+    # image_features dense: its INPUT is the layer-normed grid
+    # (aoa.prepare_consts computes v_pre = LN(feat_grid) @ W + b), so the
+    # epsilon rule must re-weight by that same LN'd x — using the raw grid
+    # would pair an inconsistent (x, z) and break conservation per location.
+    # The LayerNorm itself then passes relevance identically to feat_grid
+    # (iNNvestigate's BatchNorm treatment, module docstring).
+    x_ln = aoa._layer_norm(consts.feat_grid, params["feat_ln"]["scale"],
+                           params["feat_ln"]["bias"])
+    r_feat = lrp_linear(r_vfeat, x_ln, consts.v_pre, params["image_features"]["kernel"])
     return r_feat, r_words, cache_t.attention
 
 

@@ -13,6 +13,15 @@ of a reversed Keras graph:
   Δy, backpropagate through the layer's VJP at the *actual* input, re-weight
   by the input difference Δx; where |Δx| < eps fall back to the plain
   gradient (``approximate_gradient=True`` default, deeplift.py:78-86).
+  NOTE the unit boundary is deliberate: the reference assigns rules per
+  KERAS LAYER (deeplift.py:180-193 — ``contains_kernel`` → LinearRule), and
+  Keras VGG16 convs carry a FUSED relu, so the reference's LinearRule there
+  divides by the post-relu Δy and its GradientWRT runs through the relu —
+  reproduced here exactly. Encoders whose convs have SEPARATE Activation
+  layers (resnet/inception) instead get RescaleRule on the relu and
+  LinearRule on the bare conv (see resnet_lrp/inception_lrp and
+  ops/lrp_conv.deeplift_conv_linear) — that per-encoder difference is the
+  reference's own layer-structure-dependent behavior, not a deviation.
 * Layers without kernels (maxpool) fall to the default gradient reverse —
   winner-take-all at the actual input, as in the reference's
   ``_default_reverse_mapping``.

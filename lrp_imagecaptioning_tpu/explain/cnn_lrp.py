@@ -29,20 +29,26 @@ from ..models.vgg import vgg_apply_with_acts, vgg_layers
 from ..ops.lrp_conv import lrp_conv_alpha_beta, lrp_conv_epsilon, lrp_maxpool_wta
 
 
-def _vgg_lrp_backward(params, inputs, relevance, arch, until, conv_rule):
+def _vgg_lrp_backward(params, inputs, relevance, arch, until, conv_rule,
+                      input_rule=None):
     """Walk vgg_layers(...) in reverse applying ``conv_rule`` per conv and WTA
     per pool. ``inputs[i]`` is the forward input of op i.
 
     ``conv_rule(r, x, kernel, bias, nonneg)`` — every conv input except the
     image itself is post-ReLU, so rules exploiting the sign invariant get
-    ``nonneg=True`` for all but the first layer."""
+    ``nonneg=True`` for all but the first layer. ``input_rule(r, x, kernel,
+    bias)``, when given, replaces the rule on the input (image) layer — the
+    *Flat / zB preset variants differ only there."""
     ops = vgg_layers(arch, until)
     r = relevance
     for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
         is_input_layer = idx == len(ops) - 1
         if op[0] == "conv":
             p = params[op[1]]
-            r = conv_rule(r, x, p["kernel"], p["bias"], not is_input_layer)
+            if is_input_layer and input_rule is not None:
+                r = input_rule(r, x, p["kernel"], p["bias"])
+            else:
+                r = conv_rule(r, x, p["kernel"], p["bias"], not is_input_layer)
         else:
             r = lrp_maxpool_wta(r, x)
     return r
@@ -86,10 +92,12 @@ def vgg_lrp_preset_a_debug(params, image, relevance_seed, arch="vgg16", until="b
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
     r = relevance_seed
     stats = {}
-    for op, x in zip(reversed(ops), reversed(inputs)):
+    for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
+        is_input_layer = idx == len(ops) - 1
         if op[0] == "conv":
             p = params[op[1]]
-            r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=1.0, beta=0.0)
+            r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=1.0, beta=0.0,
+                                    input_nonneg=not is_input_layer)
         else:
             r = lrp_maxpool_wta(r, x)
         stats[op[1]] = {
@@ -106,40 +114,22 @@ def vgg_lrp_preset_a_flat(params, image, relevance_seed, arch="vgg16", until="bl
     (relevance_analyzer.py:755-762)."""
     from ..ops.lrp_conv import lrp_conv_flat
 
-    ops = vgg_layers(arch, until)
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
-    r = relevance_seed
-    for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
-        is_input_layer = idx == len(ops) - 1
-        if op[0] == "conv":
-            p = params[op[1]]
-            if is_input_layer:
-                r = lrp_conv_flat(r, x, p["kernel"])
-            else:
-                r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=1.0, beta=0.0)
-        else:
-            r = lrp_maxpool_wta(r, x)
-    return r
+    rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(r, x, k, b, alpha=1.0, beta=0.0, input_nonneg=nn)
+    flat = lambda r, x, k, b: lrp_conv_flat(r, x, k)
+    return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule,
+                             input_rule=flat)
 
 
 def vgg_lrp_preset_b_flat(params, image, relevance_seed, arch="vgg16", until="block5_conv3"):
     """LRPSequentialPresetBFlat (relevance_analyzer.py:765-770)."""
     from ..ops.lrp_conv import lrp_conv_flat
 
-    ops = vgg_layers(arch, until)
     _, inputs = vgg_apply_with_acts(params, image, arch, until)
-    r = relevance_seed
-    for idx, (op, x) in enumerate(zip(reversed(ops), reversed(inputs))):
-        is_input_layer = idx == len(ops) - 1
-        if op[0] == "conv":
-            p = params[op[1]]
-            if is_input_layer:
-                r = lrp_conv_flat(r, x, p["kernel"])
-            else:
-                r = lrp_conv_alpha_beta(r, x, p["kernel"], p["bias"], alpha=2.0, beta=1.0)
-        else:
-            r = lrp_maxpool_wta(r, x)
-    return r
+    rule = lambda r, x, k, b, nn: lrp_conv_alpha_beta(r, x, k, b, alpha=2.0, beta=1.0, input_nonneg=nn)
+    flat = lambda r, x, k, b: lrp_conv_flat(r, x, k)
+    return _vgg_lrp_backward(params, inputs, relevance_seed, arch, until, rule,
+                             input_rule=flat)
 
 
 def vgg_lrp_preset_a_imgword_batched(params, images, relevance_seeds,

@@ -101,9 +101,10 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
 
     Mirrors the reference quirks: seed flows to h2 only at step t (the decode
     logits there use h2, explainers.py:1160/1471); c_hat receives gradient
-    only through the language-LSTM input; the context split keeps beta
-    factors (unlike adaptive's); attention treated as constant; relu masks on
-    v_feat and global feature.
+    only through the language-LSTM input; the context split keeps the
+    (1-beta) factor (unlike adaptive's) but the beta*st sentinel branch gets
+    no gradient (explainers.py:1506-1527); attention treated as constant;
+    relu masks on v_feat and global feature.
     """
     H = caches.h1.shape[-1]
     E = params["embedding"].shape[-1]
@@ -153,11 +154,10 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
         d_h1_in = d_x2[H:]
         beta = c_i["beta"][0]
         d_context = d_chat * (1.0 - beta)
-        d_st = d_chat * beta
-        # sentinel: st = tanh(c1)*sigmoid(...); gradient to c1 via tanh only
-        tanh_c1 = jnp.tanh(c_i["c1"])
-        gate = c_i["st"] / jnp.where(jnp.abs(tanh_c1) > 1e-6, tanh_c1, 1.0)
-        d_c1_from_st = d_st * gate * (1 - tanh_c1 ** 2)
+        # the beta*st sentinel branch receives NO gradient — the reference's
+        # backward computes d_context = d_chat*(1-beta) and never propagates
+        # d_chat*beta into c1 (explainers.py:1506-1527: d_c1t only accumulates
+        # the h1 tanh path), same deliberate simplification as adaptive's
 
         d_V_i = c_i["attention"][:, None] * d_context[None, :]
         d_V_i = jnp.where(consts.v_feat <= 0, 0.0, d_V_i)
@@ -168,7 +168,7 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
             c_i["c1"],
             c_i["c1_prev"],
             d_h1_next + d_h1_in,
-            d_c1_next + d_c1_from_st,
+            d_c1_next,
             td_wi,
             td_wh,
         )
@@ -184,7 +184,7 @@ def grad_word_gridtd(params, consts, caches, t: jnp.ndarray, word_0based: jnp.nd
     zero = jnp.zeros((H,), d_h2_T.dtype)
     used = {k: jnp.flip(getattr(caches, k), 0)
             for k in ("z1_pre", "z2_pre", "c1", "c1_prev", "c2", "c2_prev",
-                      "beta", "st", "attention")}
+                      "beta", "attention")}
     (carry_out, (d_glob_steps, d_word_steps)) = jax.lax.scan(
         body, (zero, zero, zero, zero, d_V_accum0), (jnp.arange(T - 1, -1, -1), used), unroll=4
     )

@@ -529,7 +529,7 @@ class Explainer:
         self._ensure_batch_programs()
         if tokens_1based is None:
             tokens_1based, _ = self._decode_batch(self.params, images)
-        toks = jnp.asarray(tokens_1based, jnp.int32)
+        toks = self._coerce_tokens(tokens_1based, batched=True)
         toks_np = np.asarray(toks)
         # bucket by the longest caption in the batch (one shared program)
         n_max = max((_n_explained(row, self._pp.EOS_TOKEN_LABEL_ENCODED) for row in toks_np),
@@ -609,7 +609,7 @@ class Explainer:
                 tok_chunks.append(np.asarray(toks)[: min(B, n - i)])
             toks_np = np.concatenate(tok_chunks, axis=0)
         else:
-            toks_np = np.asarray(tokens_1based)
+            toks_np = np.asarray(self._coerce_tokens(tokens_1based, batched=True))
         toks = jnp.asarray(toks_np, jnp.int32)
 
         eos = self._pp.EOS_TOKEN_LABEL_ENCODED
@@ -640,6 +640,22 @@ class Explainer:
                 break
         return tokens, " ".join(words)
 
+    def _coerce_tokens(self, tokens_1based, batched: bool = False):
+        """Caller-supplied token rows padded with 0 to the compiled T (the
+        post-EOS padding value); longer rows are rejected — silently feeding
+        a short row into the fixed-length scan would crash at trace time
+        with an opaque shape error."""
+        toks = np.asarray(tokens_1based)
+        n = toks.shape[-1]
+        T = self._max_len
+        if n > T:
+            raise ValueError(
+                f"tokens_1based has {n} positions but max_len is {T}")
+        if n < T:
+            pad = [(0, 0)] * (toks.ndim - 1) + [(0, T - n)]
+            toks = np.pad(toks, pad)
+        return jnp.asarray(toks, jnp.int32)
+
     def analyze(self, image, tokens_1based: np.ndarray | None = None) -> Explanation:
         """Beam-search a caption (unless given) and explain every word."""
         image = jnp.asarray(image)
@@ -647,7 +663,7 @@ class Explainer:
             tokens_1based, caption = self.predict_caption(image)
         else:
             caption = None
-        toks = jnp.asarray(tokens_1based, jnp.int32)
+        toks = self._coerce_tokens(tokens_1based)
         eos = self._pp.EOS_TOKEN_LABEL_ENCODED
         words, keep = [], []
         for t, tok in enumerate(np.asarray(tokens_1based)):

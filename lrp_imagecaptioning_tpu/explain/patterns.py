@@ -44,11 +44,27 @@ PATTERN_TYPES = ("linear", "relu", "relu.negative")
 
 def _conv_patches_3x3(x: jnp.ndarray) -> jnp.ndarray:
     """im2col for a 3x3 SAME stride-1 conv, flattened in (kh, kw, cin) order
-    so that ``patches @ kernel.reshape(-1, cout) == conv2d(x, kernel)``."""
+    so that ``patches @ kernel.reshape(-1, cout) == conv2d(x, kernel)``.
+
+    Only used as the spec/oracle in tests: materializing (B, H, W, 9*cin)
+    costs ~115 MB per image at block1 shapes, so the statistics pass uses
+    :func:`_patch_correlate` instead."""
     H, W = x.shape[1], x.shape[2]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     parts = [xp[:, i:i + H, j:j + W, :] for i in range(3) for j in range(3)]
     return jnp.concatenate(parts, axis=-1)
+
+
+def _patch_correlate(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """``_conv_patches_3x3(x).reshape(-1, 9*cin).T @ m.reshape(-1, cout)``
+    WITHOUT materializing the patch tensor: one (cin, cout) contraction per
+    3x3 tap over the padded input — peak memory is the padded x instead of
+    a 9x im2col copy (the wide early VGG layers are where that matters)."""
+    B, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parts = [jnp.einsum("bhwc,bhwo->co", xp[:, i:i + H, j:j + W, :], m)
+             for i in range(3) for j in range(3)]
+    return jnp.concatenate(parts, axis=0)           # (9*cin, cout)
 
 
 def init_pattern_stats(params, arch="vgg16", until="block5_conv3"):
@@ -82,27 +98,27 @@ def update_pattern_stats(stats, params, images, pattern_type="linear",
         if op[0] == "conv":
             _, name, cin, cout = op
             p = params[name]
-            w2d = p["kernel"].reshape(-1, cout)
-            patches = _conv_patches_3x3(x)                       # (B,H,W,9cin)
-            X = patches.reshape(-1, 9 * cin)                     # (N, d)
-            y_nobias = X @ w2d                                   # (N, cout)
+            # y_nobias as a conv (== im2col patches @ W2D, pinned by
+            # test_conv_patches_match_conv); the X.T-reductions as per-tap
+            # correlations — no (N, 9*cin) patch tensor is materialized
+            y_nobias = conv2d(x, p["kernel"])                    # (B,H,W,cout)
             post = jax.nn.relu(y_nobias + p["bias"])             # actual output
-            post_flat = post
             if pattern_type == "linear":
-                mask = jnp.ones_like(post_flat)
+                mask = jnp.ones_like(post)
             elif pattern_type == "relu":
-                mask = (post_flat > 0).astype(X.dtype)
+                mask = (post > 0).astype(x.dtype)
             else:  # relu.negative
-                mask = (post_flat <= 0).astype(X.dtype)
+                mask = (post <= 0).astype(x.dtype)
+            n_samples = y_nobias.shape[0] * y_nobias.shape[1] * y_nobias.shape[2]
             s = stats[name]
             new[name] = {
-                "sum_x": s["sum_x"] + X.T @ mask,
-                "sum_xy": s["sum_xy"] + X.T @ (y_nobias * mask),
-                "cnt": s["cnt"] + mask.sum(axis=0),
-                "sum_y": s["sum_y"] + y_nobias.sum(axis=0),
-                "cnt_all": s["cnt_all"] + jnp.asarray(X.shape[0], jnp.float32),
+                "sum_x": s["sum_x"] + _patch_correlate(x, mask),
+                "sum_xy": s["sum_xy"] + _patch_correlate(x, y_nobias * mask),
+                "cnt": s["cnt"] + mask.sum(axis=(0, 1, 2)),
+                "sum_y": s["sum_y"] + y_nobias.sum(axis=(0, 1, 2)),
+                "cnt_all": s["cnt_all"] + jnp.asarray(n_samples, jnp.float32),
             }
-            x = post.reshape(x.shape[0], x.shape[1], x.shape[2], cout)
+            x = post
         else:
             x = maxpool2d(x)
     return new

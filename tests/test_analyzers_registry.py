@@ -313,3 +313,16 @@ def test_perturbation_analysis_morf_curve():
     scores = pa.compute_perturbation_analysis()
     assert len(scores) == 4
     assert all(a > b for a, b in zip(scores, scores[1:]))
+
+
+def test_patch_correlate_matches_im2col(rng):
+    """_patch_correlate == patches.T @ m without materializing the 9x im2col
+    tensor (the statistics pass runs on it; _conv_patches_3x3 is the oracle)."""
+    from lrp_imagecaptioning_tpu.explain.patterns import _patch_correlate
+
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 3)).astype(np.float32))
+    m = jnp.asarray(rng.normal(size=(2, 6, 6, 5)).astype(np.float32))
+    via_patches = _conv_patches_3x3(x).reshape(-1, 27).T @ m.reshape(-1, 5)
+    via_corr = _patch_correlate(x, m)
+    np.testing.assert_allclose(np.asarray(via_corr), np.asarray(via_patches),
+                               rtol=1e-4, atol=1e-5)

@@ -95,3 +95,34 @@ def test_aoa_explainer(method, rng):
     assert result.relevance_maps.shape == (2, 32, 32, 3)
     assert np.isfinite(result.relevance_maps).all()
     assert np.abs(result.relevance_maps).sum() > 0
+
+
+def test_aoa_lrp_reweights_by_layernormed_grid(rng):
+    """The image_features dense consumes the LAYER-NORMED grid
+    (aoa.prepare_consts), so its epsilon-rule must re-weight by that same
+    LN'd x. LayerNorm makes the whole forward (and hence the relevance)
+    ~invariant to a global rescale of the raw grid; re-weighting by the RAW
+    grid would scale r_feat with the input instead."""
+    from lrp_imagecaptioning_tpu.explain.aoa_backward import explain_word_aoa
+
+    H, T = CFG.hidden_dim, CFG.sentence_length
+    params = aoa.init_params(jax.random.PRNGKey(0), VOCAB, CFG)
+    tokens0 = jnp.asarray(rng.integers(0, VOCAB, size=(1, T)).astype(np.int32))
+    feat = jnp.asarray(rng.normal(
+        size=(1, CFG.img_feature_length, CFG.img_feature_dim)).astype(np.float32))
+
+    def r_feat_for(f):
+        consts_b = aoa.prepare_consts(params, f)
+        caches_b = aoa.forward_cached_from_inputs(params, consts_b, tokens0, H)
+        consts = jax.tree.map(lambda x: x[0], consts_b)
+        caches = jax.tree.map(lambda x: x[:, 0], caches_b)
+        r, _, _ = explain_word_aoa(params, consts, caches, jnp.asarray(2),
+                                   jnp.asarray(4), T)
+        return np.asarray(r)
+
+    r1 = r_feat_for(feat)
+    r10 = r_feat_for(10.0 * feat)
+    assert np.abs(r1).sum() > 0
+    # LN-invariance: same relevance despite the 10x input rescale (the raw-x
+    # pairing would make r10 ~10x r1)
+    np.testing.assert_allclose(r10, r1, rtol=2e-2, atol=1e-6)

@@ -232,3 +232,29 @@ def test_lrp_linear_in_seed(rng):
             scaled.relevance_maps, base.relevance_maps * 2.0,
             rtol=5e-3, atol=1e-5,
         )
+
+
+def test_gridtd_gradient_sentinel_branch_inert(rng):
+    """The reference's grid-TD gradient backward never propagates the
+    beta*st branch into c1 (explainers.py:1506-1527: d_c1t accumulates only
+    the h1 tanh path) — so perturbing the cached sentinel values must not
+    change the gradient map."""
+    from lrp_imagecaptioning_tpu.explain.decoder_grad import grad_word_gridtd
+    from lrp_imagecaptioning_tpu.models import gridtd
+
+    H, L, D, T = CFG.hidden_dim, CFG.img_feature_length, CFG.img_feature_dim, CFG.sentence_length
+    params = gridtd.init_params(jax.random.PRNGKey(1), VOCAB, CFG)
+    feat = jnp.asarray(rng.normal(size=(1, L, D)).astype(np.float32))
+    consts_b = gridtd.prepare_consts(params, feat)
+    tokens0 = jnp.asarray(rng.integers(0, VOCAB, size=(1, T)).astype(np.int32))
+    caches_b = gridtd.forward_cached_from_inputs(params, consts_b, tokens0, H)
+
+    consts = jax.tree.map(lambda x: x[0], consts_b)
+    caches = jax.tree.map(lambda x: x[:, 0], caches_b)
+    t_ex, word = jnp.asarray(2), jnp.asarray(4)
+
+    d1, _, _ = grad_word_gridtd(params, consts, caches, t_ex, word, T)
+    poked = caches._replace(st=caches.st + 3.14)
+    d2, _, _ = grad_word_gridtd(params, consts, poked, t_ex, word, T)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    assert np.abs(np.asarray(d1)).sum() > 0
