@@ -391,6 +391,11 @@ def main(argv=None):
                          "cuts serve/evaluate startup from minutes to "
                          "seconds). Opt-in: it can stall under some "
                          "remote-compile PJRT backends")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler (xprof/tensorboard) trace of "
+                         "the whole command into DIR — device timelines, XLA "
+                         "op breakdown, HBM usage; view with tensorboard or "
+                         "xprof (utils/profiling.py::trace)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("train", help="train a captioner (train.py main_attention parity)")
@@ -503,7 +508,13 @@ def main(argv=None):
 
         jax.config.update("jax_compilation_cache_dir", args.jax_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    args.fn(args)
+    if args.profile:
+        from .utils.profiling import trace
+
+        with trace(args.profile):
+            args.fn(args)
+    else:
+        args.fn(args)
 
 
 if __name__ == "__main__":

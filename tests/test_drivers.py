@@ -65,6 +65,32 @@ def test_evaluate_cli_on_synthetic(tmp_path, monkeypatch, rng):
     assert (tmp_path / "ev" / "test-predictions.yaml").exists()
 
 
+def test_profile_flag_writes_xprof_trace(tmp_path, monkeypatch, rng):
+    """--profile DIR captures a jax.profiler trace of the whole subcommand
+    (utils/profiling.py::trace wired through cli.main)."""
+    from lrp_imagecaptioning_tpu import cli
+
+    monkeypatch.chdir(tmp_path)
+    orig = cli._build_dataset
+
+    def small(args):
+        cfg, ds = orig(args)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        return cfg, ds
+
+    monkeypatch.setattr(cli, "_build_dataset", small)
+    trace_dir = tmp_path / "xprof"
+    cli.main([
+        "--profile", str(trace_dir),
+        "evaluate", "--dataset", "synthetic", "--model", "adaptiveattention",
+        "--batch-size", "2", "--beam-size", "1",
+    ])
+    # jax.profiler writes <dir>/plugins/profile/<run>/<host>.xplane.pb
+    planes = list(trace_dir.glob("plugins/profile/*/*.xplane.pb"))
+    assert planes, f"no xplane.pb under {trace_dir}"
+    assert planes[0].stat().st_size > 0
+
+
 def test_caption_service(rng):
     from lrp_imagecaptioning_tpu.infer.serving import CaptionService
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
