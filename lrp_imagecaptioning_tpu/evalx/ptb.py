@@ -144,7 +144,13 @@ def tokenize_lines(lines: list) -> list:
     missing = [s for s in dict.fromkeys(lines) if s not in _token_cache]
     if missing:
         if len(_token_cache) + len(missing) > _CACHE_MAX:
+            # evict, but KEEP the cached entries this call still reads at the
+            # end — clearing them too made the final lookup KeyError once the
+            # cache filled (a mixed old+new batch lost its old lines)
+            keep = {s: _token_cache[s] for s in dict.fromkeys(lines)
+                    if s in _token_cache}
             _token_cache.clear()
+            _token_cache.update(keep)
         jar = _find_corenlp_jar()
         if jar is not None:
             token_lists = _jar_tokenize_lines(jar, missing)

@@ -78,7 +78,6 @@ def collect_word_stats(explainer, provider, id_to_prediction: dict, category_lis
 
     cfg = explainer.captioner.cfg
     grid = int(round(float(np.sqrt(cfg.img_feature_length))))
-    upscale = 224 // grid
     save: dict = {}
     gen = provider.test_set(include_datum=True)
     seen = set()
@@ -122,6 +121,10 @@ def collect_word_stats(explainer, provider, id_to_prediction: dict, category_lis
                 # hp processing of exaimin_word.py:79-104: channel-mean of the
                 # BGR->RGB-recoded map, projected by absmax (no shift)
                 hp = _project_pos_no_shift(explanation.relevance_maps[idx].mean(axis=-1))
+                # upscale the attention to the RELEVANCE map's resolution
+                # (224 at the reference protocol, 299 for inception, smaller
+                # for test configs) so the two stats share one geometry
+                upscale = explanation.relevance_maps[idx].shape[0] // grid
                 atn = _project_pos_no_shift(np.asarray(pyramid_expand(
                     np.asarray(explanation.attentions[idx], np.float32).reshape(grid, grid),
                     upscale=upscale, sigma=20.0)))

@@ -81,11 +81,13 @@ class BasicInference:
         # background producer overlaps host image decode with device decode
         # (GeneratorEnqueuer equivalent, inference.py:63-92)
         gen = prefetch(gen_fn(include_datum=True))
-        for _ in range(steps):
-            (cap_in, imgs), y, datum_batch = next(gen)
-            results += self.predict_batch(imgs)
-            data += list(datum_batch)
-        gen.stop()
+        try:
+            for _ in range(steps):
+                (cap_in, imgs), y, datum_batch = next(gen)
+                results += self.predict_batch(imgs)
+                data += list(datum_batch)
+        finally:
+            gen.stop()  # don't leak the producer thread when decoding raises
         return list(zip(results, data))
 
     def predict_test_set(self):

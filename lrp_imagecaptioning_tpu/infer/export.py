@@ -232,7 +232,17 @@ class ExportedService:
                 prog.call(self._ec.params, dummy, toks0)
             self.stats["warmup_s"] = round(time.time() - t0, 3)
 
-    def dispatch(self, images, explain: bool = False, method: str = "lrp"):
+    @property
+    def expected_hw(self) -> tuple:
+        """(H, W) the exported programs were traced at (front-ends validate
+        request shapes against this)."""
+        return tuple(self.meta["image_size"])
+
+    def dispatch(self, images, explain: bool = False, method: str | None = None):
+        """``method=None`` serves whatever analyzer the artifact was exported
+        with (a front-end default of a SPECIFIC method would 500 every
+        default request against an artifact exported with another one).
+        An explicit mismatching method is still an error."""
         import time
         from types import SimpleNamespace
 
@@ -246,7 +256,10 @@ class ExportedService:
             out = [SimpleNamespace(**e) for e in self._ec.explain(images)]
         else:
             out = self._ec.caption(images)
+        dt = time.perf_counter() - t0
         self.stats["requests"] += 1
         self.stats["images"] += int(np.asarray(images).shape[0])
-        self.stats["latency_ema_s"] = time.perf_counter() - t0
+        self.stats["last_latency_s"] = dt
+        ema = self.stats.get("latency_ema_s") or None
+        self.stats["latency_ema_s"] = dt if ema is None else 0.9 * ema + 0.1 * dt
         return out

@@ -82,13 +82,20 @@ class CaptionGrpcServer:
     SERVICE = "lrpic.CaptionService"
 
     def __init__(self, service, host: str = "127.0.0.1", port: int = 0,
-                 max_workers: int = 8):
+                 max_workers: int = 8, max_message_bytes: int = 256 << 20):
         import grpc
 
         self.service = service
         self._grpc = grpc
+        # grpc's 4 MB default receive limit rejects realistic image batches
+        # (8 x 224x224x3 float32 .npy is ~4.8 MB) that the HTTP front-end
+        # accepts; raise both directions to the same cap the HTTP server uses
         self._server = grpc.server(
-            _futures.ThreadPoolExecutor(max_workers=max_workers))
+            _futures.ThreadPoolExecutor(max_workers=max_workers),
+            options=[
+                ("grpc.max_receive_message_length", int(max_message_bytes)),
+                ("grpc.max_send_message_length", int(max_message_bytes)),
+            ])
         handlers = {
             "Health": grpc.unary_unary_rpc_method_handler(self._health),
             "Stats": grpc.unary_unary_rpc_method_handler(self._stats),
@@ -108,7 +115,13 @@ class CaptionGrpcServer:
 
     def _images(self, request: bytes, context):
         try:
-            return _parse_request(request)
+            images, method = _parse_request(request)
+            expected = getattr(self.service, "expected_hw", None)
+            if expected is not None and tuple(images.shape[1:3]) != tuple(expected):
+                raise ValueError(
+                    f"images must be {tuple(expected)} (service resolution), "
+                    f"got {tuple(images.shape[1:3])}")
+            return images, method
         except Exception as e:
             context.abort(self._grpc.StatusCode.INVALID_ARGUMENT, str(e))
 
@@ -127,8 +140,9 @@ class CaptionGrpcServer:
             if key == "lrpic-method":
                 method = value
         try:
-            exps = self.service.dispatch(images, explain=True,
-                                         method=method or "lrp")
+            # method=None -> the service's default analyzer (for exported
+            # artifacts: whatever method the artifact carries)
+            exps = self.service.dispatch(images, explain=True, method=method)
         except Exception as e:
             context.abort(self._grpc.StatusCode.INTERNAL,
                           f"{type(e).__name__}: {e}")
@@ -151,10 +165,15 @@ class CaptionGrpcClient:
     >>> client.explain(images, "lrp")   # -> dict of numpy arrays
     """
 
-    def __init__(self, target: str):
+    def __init__(self, target: str, max_message_bytes: int = 256 << 20):
         import grpc
 
-        self._channel = grpc.insecure_channel(target)
+        # multi-image Explain responses (W x H x W x 3 float16 maps per
+        # image) blow through the 4 MB channel default
+        self._channel = grpc.insecure_channel(target, options=[
+            ("grpc.max_receive_message_length", int(max_message_bytes)),
+            ("grpc.max_send_message_length", int(max_message_bytes)),
+        ])
         svc = CaptionGrpcServer.SERVICE
 
         def method(name):

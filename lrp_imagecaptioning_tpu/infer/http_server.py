@@ -32,8 +32,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
-def _parse_images(handler: BaseHTTPRequestHandler) -> np.ndarray:
+class _BodyTooLarge(Exception):
+    pass
+
+
+def _parse_images(handler: BaseHTTPRequestHandler, max_bytes: int,
+                  expected_hw=None) -> np.ndarray:
     length = int(handler.headers.get("Content-Length", 0))
+    if length > max_bytes:
+        # reject on the DECLARED length before buffering anything — an
+        # unbounded read here is a one-request memory-DoS
+        raise _BodyTooLarge(f"body {length} bytes > limit {max_bytes}")
     body = handler.rfile.read(length)
     ctype = handler.headers.get("Content-Type", "application/json")
     if "npy" in ctype or "octet-stream" in ctype:
@@ -44,6 +53,14 @@ def _parse_images(handler: BaseHTTPRequestHandler) -> np.ndarray:
         arr = arr[None]
     if arr.ndim != 4 or arr.shape[-1] != 3:
         raise ValueError(f"expected (N, H, W, 3) images, got {arr.shape}")
+    if expected_hw is not None and tuple(arr.shape[1:3]) != tuple(expected_hw):
+        # the service's programs are compiled for ONE resolution; novel
+        # shapes would either shape-error (AOT path) or force a fresh
+        # 10-40s trace/compile per distinct shape (jit path) — reject as a
+        # client error instead
+        raise ValueError(
+            f"images must be {tuple(expected_hw)} (service resolution), "
+            f"got {tuple(arr.shape[1:3])}")
     return arr.astype(np.float32)
 
 
@@ -70,17 +87,22 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         path, _, query = self.path.partition("?")
+        svc = self.server.service
         try:
-            images = _parse_images(self)
+            images = _parse_images(self, self.server.max_body_bytes,
+                                   getattr(svc, "expected_hw", None))
+        except _BodyTooLarge as e:
+            return self._json(413, {"error": str(e)})
         except Exception as e:
             return self._json(400, {"error": str(e)})
-        svc = self.server.service
         try:
             if path == "/caption":
                 captions = svc.dispatch(images)
                 return self._json(200, {"captions": captions})
             if path == "/explain":
-                method = "lrp"
+                # None = the service's default analyzer (for an exported
+                # artifact: whatever method it was exported with)
+                method = None
                 for kv in query.split("&"):
                     if kv.startswith("method="):
                         method = kv.split("=", 1)[1]
@@ -113,10 +135,12 @@ class CaptionHTTPServer:
     actual device work still serializes through the service (and coalesces
     when its micro-batching queue is running)."""
 
-    def __init__(self, service, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 8000,
+                 max_body_bytes: int = 256 << 20):
         self.service = service
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.service = service
+        self._httpd.max_body_bytes = int(max_body_bytes)
         self._thread = None
 
     @property

@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.profiling import StepTimer
 from .beam import beam_search
 from .greedy import greedy_decode
 
@@ -69,7 +68,6 @@ class CaptionService:
         self._T = max_len or captioner.cfg.sentence_length
         self._dtype = compute_dtype
         self._storage_dtype = storage_dtype  # bf16: +12% explain throughput
-        self._timer = StepTimer()
         self.stats = {"requests": 0, "images": 0}
 
         def decode(params, images):
@@ -101,12 +99,25 @@ class CaptionService:
         self._explainer_lock = threading.Lock()
         self._queue = None
         self._queue_thread = None
+        self._queue_lock = threading.Lock()  # guards queue start/stop/submit
 
-    def _input_size(self) -> int:
-        # input resolution implied by the feature grid: g x g grid from 4
-        # stride-2 pools => input = 16 * g (224 for the standard 14x14)
-        g = int(round(float(np.sqrt(self.captioner.cfg.img_feature_length))))
-        return 16 * g
+    @property
+    def expected_hw(self) -> tuple:
+        """(H, W) input resolution the service's programs are compiled for —
+        the config's ``image_size`` when set, else the encoder's canonical
+        input: 299 for inception_v3 (ImagePreprocessor's resolution), else
+        the grid-implied size stride x g (VGG taps are stride 16, resnet's
+        conv5 tap is stride 32 — both give 224 at their standard grids).
+        Front-ends validate request shapes against this before dispatching."""
+        cfg = self.captioner.cfg
+        size = getattr(cfg, "image_size", None)
+        if size:
+            return tuple(size)
+        if cfg.img_encoder == "inception_v3":
+            return (299, 299)
+        g = int(round(float(np.sqrt(cfg.img_feature_length))))
+        stride = 32 if cfg.img_encoder.startswith("resnet") else 16
+        return (stride * g, stride * g)
 
     def warmup(self, explain: bool = False, method: str = "lrp"):
         """AOT-compile the decode executable for the service batch shape.
@@ -115,8 +126,8 @@ class CaptionService:
         its batched decode program and EVERY word-bucketed explain program
         (``Explainer.warmup``), so the first ``explain()`` request pays no
         compilation either — whatever bucket its captions land in."""
-        size = self._input_size()
-        dummy = jnp.zeros((self._B, size, size, 3), jnp.float32)
+        h, w = self.expected_hw
+        dummy = jnp.zeros((self._B, h, w, 3), jnp.float32)
         self._compiled = self._decode.lower(self.params, dummy).compile()
         if explain:
             self._get_explainer(method).warmup(dummy)
@@ -162,11 +173,16 @@ class CaptionService:
         else:
             tokens, _ = self._decode(self.params, batch)
         tokens = np.asarray(tokens)[:n]
-        self.stats["requests"] += 1
-        self.stats["images"] += n
-        self._timer.update()
-        self.stats["latency_ema_s"] = time.perf_counter() - t0
+        self._note_request(n, t0)
         return [self._tokens_to_string(row) for row in tokens]
+
+    def _note_request(self, n_images: int, t0: float):
+        dt = time.perf_counter() - t0
+        self.stats["requests"] += 1
+        self.stats["images"] += n_images
+        self.stats["last_latency_s"] = dt
+        ema = self.stats.get("latency_ema_s")
+        self.stats["latency_ema_s"] = dt if ema is None else 0.9 * ema + 0.1 * dt
 
     def explain(self, images: np.ndarray, method: str = "lrp") -> list:
         """Caption + per-word heatmap explanation endpoint.
@@ -189,25 +205,28 @@ class CaptionService:
             # the word-count bucket), and length-sorts multi-chunk requests
             result = self._get_explainer(method).analyze_many(
                 images, batch_size=self._B)
-        self.stats["requests"] += 1
-        self.stats["images"] += n
-        self.stats["latency_ema_s"] = time.perf_counter() - t0
+        self._note_request(n, t0)
         return result
 
     def dispatch(self, images: np.ndarray, explain: bool = False,
-                 method: str = "lrp") -> list:
+                 method: str | None = None) -> list:
         """Serve a request through the micro-batching queue when it is
         running, else directly. The front-ends' (HTTP/gRPC) single entry
-        point: it tolerates ``stop_queue()`` racing the check by falling
-        back to direct dispatch instead of surfacing the transient
-        RuntimeError to the caller."""
-        if self._queue is not None:
-            try:
-                futs = [self.submit(im, explain=explain, method=method)
-                        for im in images]
-                return [f.result() for f in futs]
-            except RuntimeError:  # queue stopped between check and submit
-                pass
+        point. ``method=None`` means the service default analyzer (``lrp``).
+
+        Enqueueing is atomic (``submit_many``), so a concurrent
+        ``stop_queue()`` either takes the whole request (its drain serves
+        every already-queued future) or none of it (RuntimeError -> direct
+        dispatch) — never half. Only the enqueue is guarded: execution
+        errors from ``Future.result()`` propagate to the caller instead of
+        being silently retried on the direct path."""
+        method = method or "lrp"
+        try:
+            futs = self.submit_many(images, explain=explain, method=method)
+        except RuntimeError:  # queue not running (or stopped concurrently)
+            futs = None
+        if futs is not None:
+            return [f.result() for f in futs]
         if explain:
             return self.explain(images, method=method)
         return self.caption(images)
@@ -223,24 +242,34 @@ class CaptionService:
         padded batch — so B concurrent callers share one executable launch
         instead of paying B padded launches.
         """
-        if self._queue is not None:
-            return self
-        self._queue = queue.Queue()
-        self._queue_linger = linger_ms / 1000.0
-        self._queue_stop = threading.Event()
-        self._queue_thread = threading.Thread(target=self._queue_loop, daemon=True)
-        self._queue_thread.start()
+        with self._queue_lock:
+            if self._queue is not None:
+                return self
+            self._queue = queue.Queue()
+            self._queue_linger = linger_ms / 1000.0
+            self._queue_stop = threading.Event()
+            self._queue_thread = threading.Thread(
+                target=self._queue_loop, args=(self._queue, self._queue_stop),
+                daemon=True)
+            self._queue_thread.start()
         return self
 
     def stop_queue(self):
-        """Stop the micro-batcher; pending requests are still served."""
-        if self._queue is None:
-            return
-        self._queue_stop.set()
-        self._queue.put(None)  # wake the loop
-        self._queue_thread.join()
-        self._queue = None
-        self._queue_thread = None
+        """Stop the micro-batcher; pending requests are still served.
+
+        The queue reference is nulled UNDER the submit lock before the
+        worker is joined, so no ``submit``/``submit_many`` can enqueue onto
+        a queue nobody watches (a put landing after the drain would strand
+        its Future forever)."""
+        with self._queue_lock:
+            if self._queue is None:
+                return
+            q, thread, stop = self._queue, self._queue_thread, self._queue_stop
+            self._queue = None
+            self._queue_thread = None
+        stop.set()
+        q.put(None)  # wake the loop
+        thread.join()
 
     def submit(self, image: np.ndarray, explain: bool = False,
                method: str = "lrp") -> Future:
@@ -248,15 +277,33 @@ class CaptionService:
 
         Future resolves to the caption string, or an ``Explanation`` when
         ``explain=True``. Requires ``start_queue()``."""
-        if self._queue is None:
-            raise RuntimeError("call start_queue() before submit()")
-        fut: Future = Future()
-        self._queue.put((np.asarray(image), explain, method, fut))
-        return fut
+        return self.submit_many(np.asarray(image)[None],
+                                explain=explain, method=method)[0]
 
-    def _queue_loop(self):
-        while not self._queue_stop.is_set():
-            item = self._queue.get()
+    def submit_many(self, images, explain: bool = False,
+                    method: str = "lrp") -> list[Future]:
+        """Enqueue N (H, W, 3) images ATOMICALLY; returns N Futures.
+
+        All-or-nothing under the queue lock: either every image lands on the
+        live queue (a concurrent ``stop_queue`` then serves them in its
+        drain), or the queue is already stopped and RuntimeError is raised
+        before anything is enqueued."""
+        with self._queue_lock:
+            if self._queue is None:
+                raise RuntimeError("call start_queue() before submit()")
+            futs = []
+            for image in images:
+                fut: Future = Future()
+                self._queue.put((np.asarray(image), explain, method, fut))
+                futs.append(fut)
+            return futs
+
+    def _queue_loop(self, q, stop):
+        # `q`/`stop` are pinned at thread start: stop_queue() nulls
+        # self._queue before joining (the drain must keep reading THIS
+        # queue), and a concurrent restart replaces self._queue_stop
+        while not stop.is_set():
+            item = q.get()
             if item is None:
                 continue
             batch = [item]
@@ -266,7 +313,7 @@ class CaptionService:
                 if left <= 0:
                     break
                 try:
-                    nxt = self._queue.get(timeout=left)
+                    nxt = q.get(timeout=left)
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -277,7 +324,7 @@ class CaptionService:
         leftovers = []
         while True:
             try:
-                item = self._queue.get_nowait()
+                item = q.get_nowait()
             except queue.Empty:
                 break
             if item is not None:

@@ -292,6 +292,30 @@ def test_caption_http_server(rng):
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # wrong resolution -> 400 (the service programs are compiled at 32)
+        wrong = rng.normal(size=(1, 48, 48, 3)).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/caption", data=json.dumps({"images": wrong.tolist()}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "resolution" in e.read().decode()
+
+        # oversized DECLARED body -> 413 before buffering a byte
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+        try:
+            conn.putrequest("POST", "/caption")
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", str(1 << 40))
+            conn.endheaders()
+            assert conn.getresponse().status == 413
+        finally:
+            conn.close()
     finally:
         srv.stop()
 
@@ -355,6 +379,69 @@ def test_cli_method_choices_match_engine():
     assert _METHOD_CHOICES == METHODS
 
 
+def test_expected_hw_derivation():
+    """Service input resolution: image_size override wins; inception is 299;
+    vgg/resnet derive from their feature grid at the right stride (the old
+    16*g rule compiled 128-input warmups for inception's 8x8 grid)."""
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+
+    def hw(**kw):
+        svc = CaptionService.__new__(CaptionService)  # property only needs cfg
+
+        class Cap:
+            cfg = CFG.replace(**kw)
+
+        svc.captioner = Cap()
+        return svc.expected_hw
+
+    assert hw(img_feature_length=196) == (224, 224)                      # vgg16
+    assert hw(img_encoder="resnet50", img_feature_length=49) == (224, 224)
+    assert hw(img_encoder="inception_v3", img_feature_length=64) == (299, 299)
+    assert hw(img_feature_length=4) == (32, 32)                          # tiny test cfg
+    assert hw(img_encoder="inception_v3", image_size=(75, 75),
+              img_feature_length=1) == (75, 75)                          # override wins
+
+
+def test_service_latency_stats_are_smoothed(rng):
+    """stats carry a real EMA plus the raw last latency (the 'EMA' used to be
+    just the last request's wall time)."""
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    svc = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1)
+    imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    svc.caption(imgs)
+    first = svc.stats["latency_ema_s"]
+    assert first == svc.stats["last_latency_s"] > 0
+    svc.caption(imgs)
+    last = svc.stats["last_latency_s"]
+    ema = svc.stats["latency_ema_s"]
+    assert ema == pytest.approx(0.9 * first + 0.1 * last)
+
+
+def test_stop_queue_serves_already_submitted(rng):
+    """submit_many is atomic under the queue lock: futures enqueued before
+    stop_queue() are served by the drain; submissions after it raise."""
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap = build_captioner("adaptiveattention", CFG, 16)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1)
+    svc.start_queue(linger_ms=200.0)
+    imgs = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    futs = svc.submit_many(imgs)
+    svc.stop_queue()  # drain must resolve every already-queued future
+    for f in futs:
+        assert isinstance(f.result(timeout=60), str)
+    with pytest.raises(RuntimeError):
+        svc.submit_many(imgs)
+    # dispatch falls back to the direct path after the queue stops
+    assert len(svc.dispatch(imgs)) == 3
+
+
 def test_caption_grpc_server(rng):
     """gRPC front-end: npy caption, metadata-selected explain, stats, errors.
 
@@ -405,6 +492,31 @@ def test_caption_grpc_server(rng):
             assert client.caption(imgs) == caps_npy
         finally:
             svc.stop_queue()
+    finally:
+        client.close()
+        srv.stop()
+
+
+def test_grpc_accepts_payloads_over_4mb(rng):
+    """grpc's 4 MB default receive limit used to reject realistic image
+    batches (8 x 224^2 x 3 float32 npy ~ 4.8 MB) that HTTP accepts; the
+    server/client now raise both directions."""
+    pytest.importorskip("grpc")
+
+    from lrp_imagecaptioning_tpu.infer import CaptionGrpcClient, CaptionGrpcServer
+
+    class Stub:  # no device work — this tests the transport limits only
+        stats = {}
+
+        def dispatch(self, images, explain=False, method=None):
+            return [f"n={len(images)}"] * len(images)
+
+    srv = CaptionGrpcServer(Stub(), port=0).start()
+    client = CaptionGrpcClient(f"127.0.0.1:{srv.port}")
+    try:
+        imgs = rng.normal(size=(8, 224, 224, 3)).astype(np.float32)  # ~4.8 MB
+        caps = client.caption(imgs)
+        assert caps == ["n=8"] * 8
     finally:
         client.close()
         srv.stop()

@@ -98,6 +98,12 @@ def test_exported_service_dispatch(artifact, rng):
     assert exps[0].caption.endswith("zeros")
     assert exps[0].relevance_maps.shape[1:] == (32, 32, 3)
     assert svc.stats["requests"] == 2 and svc.stats["images"] == 4
+    # method=None (a front-end default) serves the artifact's own method
+    # instead of 500ing on a hard-coded 'lrp'
+    exps_default = svc.dispatch(images, explain=True)
+    assert exps_default[0].caption == exps[0].caption
+    # front-ends validate request resolutions against the traced shape
+    assert svc.expected_hw == (32, 32)
     with pytest.raises(ValueError):
         svc.dispatch(images, explain=True, method="gradient")
 

@@ -101,6 +101,22 @@ def test_word_stats_pickle_roundtrip(tmp_path):
     assert load_word_stats(p) == stats
 
 
+def test_token_cache_eviction_keeps_current_lines(monkeypatch):
+    """Cache eviction must not clear entries the CURRENT call still reads —
+    a mixed cached+new batch at the cache cap used to KeyError on its cached
+    lines (every metric call crashed once the cache filled)."""
+    from lrp_imagecaptioning_tpu.evalx import ptb
+
+    monkeypatch.setattr(ptb, "_token_cache", {})
+    monkeypatch.setattr(ptb, "_CACHE_MAX", 4)
+    old = ["a dog runs", "a cat sits"]
+    assert ptb.tokenize_lines(old) == [["a", "dog", "runs"], ["a", "cat", "sits"]]
+    mixed = old + [f"new line {i}" for i in range(5)]  # overflow the cap
+    toks = ptb.tokenize_lines(mixed)
+    assert toks[0] == ["a", "dog", "runs"] and toks[1] == ["a", "cat", "sits"]
+    assert toks[2] == ["new", "line", "0"]
+
+
 def test_lite_tokenizer_tracks_nltk_on_caption_text():
     """The dependency-free fallback (_lite_tokenize) matches the nltk
     Treebank path on ordinary caption sentences, so metrics stay functional
