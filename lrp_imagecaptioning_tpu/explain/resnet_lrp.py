@@ -26,11 +26,10 @@ import jax.numpy as jnp
 
 from ..models.resnet import BN_EPS, _stages
 from ..ops.lrp_conv import lrp_conv_alpha_beta
-from ..ops.lrp_core import EPS_KERAS, safe_divide
+from ..ops.lrp_core import EPS_KERAS, safe_divide, sign_stabilizer
 
-
-def _sign_stab(z, eps=EPS_KERAS):
-    return z + jnp.where(z >= 0, eps, -eps)
+# canonical stabilizer (sign(0) = +1) — one definition for every LRP rule
+_sign_stab = sign_stabilizer
 
 
 def lrp_bn(r, x, y, mean, beta, eps=EPS_KERAS):

@@ -39,9 +39,19 @@ def masked_ce_from_logits(logits, y_onehot):
 
 def keras_categorical_ce(logits, y_onehot, eps: float = 1e-7):
     """Keras categorical_crossentropy applied to raw logits (grid-TD quirk,
-    model.py:662-664): output renormalized to sum 1, clipped, then -y*log(p)."""
+    model.py:662-664): output renormalized to sum 1, clipped, then -y*log(p).
+
+    The renormalizing division follows Keras' raw ``output /= sum`` —
+    negative sums stay negative (the target prob then clips to eps and the
+    loss is -log(eps), the regime that actually drives this quirk loss).
+    The only deviation is a sign-PRESERVING stabilizer on the denominator so
+    an exactly-zero sum cannot NaN the jit gradient; a max(sum, eps) guard
+    here would instead zero the loss whenever a timestep's logits sum went
+    negative."""
     y = y_onehot.astype(logits.dtype)
-    p = logits / jnp.maximum(logits.sum(-1, keepdims=True), eps)
+    s = logits.sum(-1, keepdims=True)
+    s = s + jnp.where(s >= 0, eps, -eps)
+    p = logits / s
     p = jnp.clip(p, eps, 1.0 - eps)
     ce = -(y * jnp.log(p)).sum(-1)
     return ce.mean()
@@ -102,8 +112,9 @@ class Captioner:
     def _cfg_compute_dtype(self):
         """cfg.compute_dtype ('bfloat16') -> dtype for the encoder matmuls.
 
-        Mixed precision the TPU way: conv/matmul INPUTS cast to bf16 for the
-        MXU fast path (accumulation stays f32 via preferred_element_type),
+        Mixed precision the TPU way: conv/matmul OPERANDS cast to bf16 for
+        the MXU fast path (the MXU accumulates f32 internally; each conv
+        output is rounded to bf16 once, then upcast so bias/BN/relu run f32),
         while the params pytree and the optimizer state remain f32 master
         copies — gradients come back f32 through the cast."""
         cd = getattr(self.cfg, "compute_dtype", "float32")

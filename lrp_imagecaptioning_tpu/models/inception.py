@@ -170,17 +170,23 @@ def inception_v3_apply(params, x, compute_dtype=None, until: str = "mixed10", re
     """(B, 299, 299, 3) preprocessed ([-1,1]) -> (B, 8, 8, 2048) at mixed10."""
     if relu_fn is None:
         relu_fn = jax.nn.relu
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
     tensors = {"input": x}
     for op in _SPEC:
         if op[0] == "conv":
             _, name, src, f, (kh, kw), s, p = op
             t = tensors[src]
+            # compute_dtype (bf16), grad-safe: both operands cast for the MXU
+            # (f32 internal accumulation, one bf16 output rounding), upcast so
+            # BN/relu run f32 (see models/vgg.py for why not
+            # preferred_element_type)
+            if compute_dtype is not None:
+                t = t.astype(compute_dtype)
             y = jax.lax.conv_general_dilated(
                 t, params[name]["kernel"].astype(t.dtype), (s, s), p,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+            if compute_dtype is not None:
+                y = y.astype(jnp.float32)
             pn = params[name]
             inv = jax.lax.rsqrt(pn["bn_var"] + BN_EPS)
             y = (y - pn["bn_mean"]) * inv * pn["bn_gamma"] + pn["bn_beta"]

@@ -87,23 +87,31 @@ def _bn(p, x):
     return (x - p["moving_mean"]) * inv * p["gamma"] + p["beta"]
 
 
-def _conv(p, x, stride, padding):
-    return jax.lax.conv_general_dilated(
+def _conv(p, x, stride, padding, compute_dtype=None):
+    # compute_dtype (bf16), grad-safe: BOTH operands cast for the MXU (f32
+    # internal accumulation, one bf16 rounding of the output), then upcast so
+    # BN/relu/residual adds run f32. preferred_element_type=f32 would skip
+    # the rounding but breaks jax.grad's conv transpose rule.
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
         x, p["kernel"].astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+    return y.astype(jnp.float32) if compute_dtype is not None else y
 
 
-def _bottleneck(params, x, stage: int, block: str, first: bool, stride: int, relu_fn=jax.nn.relu):
+def _bottleneck(params, x, stage: int, block: str, first: bool, stride: int,
+                relu_fn=jax.nn.relu, compute_dtype=None):
     base = f"res{stage}{block}_branch"
     bn = f"bn{stage}{block}_branch"
     if first:
-        shortcut = _bn(params[bn + "1"], _conv(params[base + "1"], x, stride, "VALID"))
+        shortcut = _bn(params[bn + "1"], _conv(params[base + "1"], x, stride, "VALID", compute_dtype))
     else:
         shortcut = x
-    y = relu_fn(_bn(params[bn + "2a"], _conv(params[base + "2a"], x, stride, "VALID")))
-    y = relu_fn(_bn(params[bn + "2b"], _conv(params[base + "2b"], y, 1, "SAME")))
-    y = _bn(params[bn + "2c"], _conv(params[base + "2c"], y, 1, "VALID"))
+    y = relu_fn(_bn(params[bn + "2a"], _conv(params[base + "2a"], x, stride, "VALID", compute_dtype)))
+    y = relu_fn(_bn(params[bn + "2b"], _conv(params[base + "2b"], y, 1, "SAME", compute_dtype)))
+    y = _bn(params[bn + "2c"], _conv(params[base + "2c"], y, 1, "VALID", compute_dtype))
     return relu_fn(y + shortcut)
 
 
@@ -114,23 +122,22 @@ def resnet50_apply(params, x, compute_dtype=None, depth: str = "resnet50", relu_
     second resnet option, config.py:41-45)."""
     if relu_fn is None:
         relu_fn = jax.nn.relu
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
     # keras: ZeroPadding2D(3) + 7x7/2 VALID conv
     x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    x = relu_fn(_bn(params["bn_conv1"], _conv(params["conv1"], x, 2, "VALID")))
+    x = relu_fn(_bn(params["bn_conv1"], _conv(params["conv1"], x, 2, "VALID", compute_dtype)))
     # 3x3/2 max pool, SAME-from-valid via explicit pad like keras (valid here)
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
                               (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
     for stage, blocks, _, stage_stride in _stages(depth):
         for bi, block in enumerate(blocks):
             x = _bottleneck(params, x, stage, block, first=(bi == 0),
-                            stride=stage_stride if bi == 0 else 1, relu_fn=relu_fn)
+                            stride=stage_stride if bi == 0 else 1, relu_fn=relu_fn,
+                            compute_dtype=compute_dtype)
     return x.astype(jnp.float32)
 
 
-def load_keras_resnet50_h5(path: str):
-    """Import conv + BN weights from a Keras resnet50 HDF5 file."""
+def load_keras_resnet50_h5(path: str, depth: str = "resnet50"):
+    """Import conv + BN weights from a Keras resnet50/101 HDF5 file."""
     import h5py
 
     params = {}
@@ -153,7 +160,7 @@ def load_keras_resnet50_h5(path: str):
                 else:
                     out[k] = np.asarray(v)
 
-        for conv_name, bn_name, _, _ in _conv_names():
+        for conv_name, bn_name, _, _ in _conv_names(depth):
             cw: dict = {}
             datasets(find(conv_name), cw)
             kernel = next(v for k, v in cw.items() if "kernel" in k or k.endswith("W:0") or "_W" in k)

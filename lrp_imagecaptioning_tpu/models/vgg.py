@@ -6,9 +6,12 @@ We rebuild the conv stack as a flat list of (conv|pool) ops over a params
 pytree keyed by the same Keras layer names so (a) published HDF5 checkpoints
 import one-to-one and (b) the explanation engine can cite rules per layer.
 
-TPU notes: convs run in ``compute_dtype`` (bfloat16 by default for the bench
-path) with f32 accumulation via ``preferred_element_type``; the explanation
-backward keeps f32 end-to-end for parity with the numpy reference.
+TPU notes: with ``compute_dtype`` (bfloat16) both conv operands are cast for
+the MXU — which accumulates f32 internally and rounds each conv output to
+bf16 once — and the output is upcast so bias-add/relu run f32 (grad-safe;
+``preferred_element_type`` would skip the rounding but breaks jax.grad's conv
+transpose rule). The explanation backward keeps f32 end-to-end for parity
+with the numpy reference.
 """
 
 from __future__ import annotations
@@ -65,13 +68,21 @@ def vgg_apply(params, x, arch: str = "vgg16", until: str = "block5_conv3", compu
     """Forward pass -> feature map (B, 14, 14, 512) at ``until``."""
     if relu_fn is None:
         relu_fn = jax.nn.relu
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
     for op in vgg_layers(arch, until):
         if op[0] == "conv":
             p = params[op[1]]
-            k = p["kernel"].astype(x.dtype) if compute_dtype is not None else p["kernel"]
-            x = relu_fn(conv2d(x, k) + p["bias"].astype(x.dtype))
+            if compute_dtype is not None:
+                # mixed precision, grad-safe: BOTH conv operands cast to bf16
+                # for the MXU (which accumulates f32 internally and rounds
+                # the output once), then upcast so bias-add / relu / the next
+                # layer's input run in f32. preferred_element_type=f32 would
+                # avoid even that single rounding but breaks jax.grad's conv
+                # transpose rule (f32 cotangent vs bf16 kernel TypeError).
+                x = conv2d(x.astype(compute_dtype),
+                           p["kernel"].astype(compute_dtype)).astype(jnp.float32)
+            else:
+                x = conv2d(x, p["kernel"])
+            x = relu_fn(x + p["bias"].astype(x.dtype))
         else:
             x = maxpool2d(x)
     return x
@@ -133,9 +144,14 @@ def load_keras_vgg_h5(path: str, arch: str = "vgg16", until: str = "block5_conv3
                 for k, v in group.items():
                     if isinstance(v, h5py.Group):
                         walk(v)
-                    elif "W" in k or "kernel" in k:
+                        continue
+                    # dataset names: 'kernel:0' / 'bias:0' (checkpoints) or
+                    # '<layer>_W_1:0' / '<layer>_b_1:0' (keras.applications);
+                    # match on underscore tokens so 'b' finds '..._b_1'
+                    toks = k.split(":")[0].split("_")
+                    if "kernel" in toks or "W" in toks:
                         kernel = np.asarray(v)
-                    elif "b" in k.split(":")[0][-1] or "bias" in k:
+                    elif "bias" in toks or "b" in toks:
                         bias = np.asarray(v)
             if isinstance(g, h5py.Group):
                 walk(g)

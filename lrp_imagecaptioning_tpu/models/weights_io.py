@@ -298,11 +298,19 @@ def save_reference_checkpoint_h5(path: str, params: dict, model_type: str,
 
 def load_reference_checkpoint_h5(path: str, model_type: str, arch: str = "vgg16",
                                  until: str = "block5_conv3") -> dict:
-    """Full captioner params ({'vgg', 'decoder'}) from a reference HDF5."""
-    if arch == "resnet50":
+    """Full captioner params ({'vgg', 'decoder'}) from a reference HDF5.
+
+    Encoder dispatch covers every supported ``arch`` — routing inception /
+    resnet101 into the VGG loader raised KeyError('inception_v3') from
+    ``_VGG_CFG`` before it could read a single weight."""
+    if arch in ("resnet50", "resnet101"):
         from .resnet import load_keras_resnet50_h5
 
-        enc = load_keras_resnet50_h5(path)
+        enc = load_keras_resnet50_h5(path, depth=arch)
+    elif arch == "inception_v3":
+        from .inception import load_keras_inception_v3_h5
+
+        enc = load_keras_inception_v3_h5(path)
     else:
         from .vgg import load_keras_vgg_h5
 

@@ -180,6 +180,36 @@ def test_losses(rng):
     assert 0.0 <= float(acc) <= 1.0
 
 
+def test_keras_categorical_ce_negative_sum_matches_keras():
+    """Raw-logit renormalization must follow Keras' unguarded division:
+    timesteps whose logits sum NEGATIVE renormalize to negative probs whose
+    target slot clips to eps (loss ~ -log(eps) ~ 16.1, strong gradient).
+    A max(sum, eps) guard instead exploded p and clipped to 1-eps (loss ~ 0)
+    exactly in the regime that drives the grid-TD quirk loss.
+
+    Self-seeded (the shared session rng's state depends on test order) and
+    with sums pushed away from 0, where the implementation's sign-preserving
+    denominator stabilizer legitimately deviates from the raw division."""
+    rng = np.random.default_rng(123)
+    logits = rng.normal(size=(3, 4, 6)).astype(np.float32) - 0.5  # sums often < 0
+    s = logits.sum(-1, keepdims=True)
+    logits = np.where(np.abs(s) < 0.2, logits - 0.2, logits)  # keep |sum| >> eps
+    assert (logits.sum(-1) < 0).any(), "fixture must exercise negative sums"
+    y = np.zeros((3, 4, 6), np.float32)
+    y[:, :, 1] = 1.0
+    eps = 1e-7
+
+    p = logits / logits.sum(-1, keepdims=True)  # Keras: output /= sum
+    p = np.clip(p, eps, 1 - eps)
+    keras_loss = (-(y * np.log(p)).sum(-1)).mean()
+
+    ours = float(keras_categorical_ce(jnp.asarray(logits), jnp.asarray(y)))
+    np.testing.assert_allclose(ours, keras_loss, rtol=1e-4)
+    # and the clipped-negative regime really produces the -log(eps) plateau
+    neg = logits.sum(-1) < 0
+    assert (np.abs((-(y * np.log(p)).sum(-1))[neg] - (-np.log(eps))) < 1.0).any()
+
+
 def test_lstm_dropout_masks_train_only(rng):
     """LSTM dropout: no-mask == all-ones masks; real masks change outputs but
     keep expectation roughly centered (inverted dropout)."""

@@ -145,3 +145,53 @@ def test_gridtd_reference_bias_naming(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["decoder"]["td_lstm"]["b"]),
         np.asarray(restored["decoder"]["td_lstm"]["b"]))
+
+
+def test_vgg_loader_accepts_keras_applications_naming(tmp_path):
+    """keras.applications VGG weight files name datasets '<layer>_W_1:0' /
+    '<layer>_b_1:0'; the bias matcher used to inspect only the last char
+    before the colon and KeyError'd on exactly this documented layout."""
+    from lrp_imagecaptioning_tpu.models.vgg import load_keras_vgg_h5
+
+    rng = np.random.RandomState(0)
+    p = str(tmp_path / "apps.h5")
+    shapes = {"block1_conv1": (3, 3, 3, 64), "block1_conv2": (3, 3, 64, 64)}
+    with h5py.File(p, "w") as f:
+        for name, kshape in shapes.items():
+            g = f.create_group(name)
+            g.create_dataset(f"{name}_W_1:0", data=rng.randn(*kshape).astype(np.float32))
+            g.create_dataset(f"{name}_b_1:0", data=rng.randn(kshape[-1]).astype(np.float32))
+    params = load_keras_vgg_h5(p, "vgg16", until="block1_conv2")
+    for name, kshape in shapes.items():
+        assert params[name]["kernel"].shape == kshape
+        assert params[name]["bias"].shape == (kshape[-1],)
+    with h5py.File(p, "r") as f:
+        np.testing.assert_array_equal(
+            np.asarray(params["block1_conv1"]["bias"]),
+            f["block1_conv1"]["block1_conv1_b_1:0"][...])
+
+
+def test_checkpoint_dispatch_routes_every_encoder(tmp_path, monkeypatch):
+    """load_reference_checkpoint_h5 must route inception_v3 / resnet101 to
+    their own loaders — both used to fall into the VGG loader and die on
+    _VGG_CFG[arch]."""
+    from lrp_imagecaptioning_tpu.models import inception, resnet
+    from lrp_imagecaptioning_tpu.models.weights_io import (
+        load_reference_checkpoint_h5,
+        save_reference_checkpoint_h5,
+    )
+
+    params = _tiny_params("adaptiveattention")
+    p = str(tmp_path / "a.h5")
+    save_reference_checkpoint_h5(p, params, "adaptiveattention")
+
+    calls = []
+    monkeypatch.setattr(inception, "load_keras_inception_v3_h5",
+                        lambda path: calls.append(("inception_v3", path)) or {})
+    monkeypatch.setattr(resnet, "load_keras_resnet50_h5",
+                        lambda path, depth="resnet50": calls.append((depth, path)) or {})
+
+    load_reference_checkpoint_h5(p, "adaptiveattention", arch="inception_v3")
+    load_reference_checkpoint_h5(p, "adaptiveattention", arch="resnet101")
+    load_reference_checkpoint_h5(p, "adaptiveattention", arch="resnet50")
+    assert [c[0] for c in calls] == ["inception_v3", "resnet101", "resnet50"]
