@@ -42,8 +42,6 @@ def _coerce_config_value(cfg, key: str, raw: str):
         return tuple(int(x) for x in raw.split(","))
     if current is None:
         # default None hides the field's type; use the dataclass annotation
-        import dataclasses
-
         ann = str(next(f.type for f in dataclasses.fields(cfg) if f.name == key))
         if "tuple" in ann or "Tuple" in ann:
             vals = tuple(int(x) for x in raw.split(","))
@@ -230,7 +228,6 @@ def cmd_analyze_words(args):
     from .models.captioner import build_captioner
 
     cfg, dataset = _build_dataset(args)
-    provider = DatasetProvider(dataset, cfg)
     with open(args.predictions) as f:
         raw = yaml.safe_load(f)
     id_to_pred = {k: (v[0]["caption"] if isinstance(v, list) else v) for k, v in raw.items()}
@@ -239,6 +236,9 @@ def cmd_analyze_words(args):
     print("frequent-object mAP:", frequent_object_map(id_to_pred, id_to_refs, cats))
 
     if args.roc_auc:
+        # the provider (a full vocabulary fit over every training caption —
+        # minutes at COCO scale) is only needed for the explainer path
+        provider = DatasetProvider(dataset, cfg)
         captioner = build_captioner(args.model_type, cfg, provider.vocab_size)
         params = _load_params(captioner, args)
         explainer = Explainer(captioner, params, provider.caption_preprocessor,
@@ -356,7 +356,7 @@ def cmd_serve(args):
                              shard_words=bool(getattr(args, "shard_words", False)))
         print(f"warming up (batch {serve_batch}, beam {args.beam_size}, "
               f"explain={args.with_explain})...", flush=True)
-        svc.warmup(explain=args.with_explain, method=args.method)
+        svc.warmup(explain=args.with_explain, method=args.method or "lrp")
         svc.start_queue(linger_ms=args.linger_ms)
     if getattr(args, "transport", "http") == "grpc":
         from .infer.grpc_server import CaptionGrpcServer
@@ -468,7 +468,10 @@ def main(argv=None):
 
     p = sub.add_parser("serve", help="HTTP/gRPC caption/explanation service (new capability)")
     _add_common(p)
-    p.add_argument("--method", default="lrp",
+    # default None (not 'lrp'): with --exported the artifact pins the method,
+    # and a hard-coded default would reject every non-lrp artifact unless the
+    # user redundantly repeated --method; live serving falls back to lrp
+    p.add_argument("--method", default=None,
                    choices=list(_METHOD_CHOICES))
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--host", default="127.0.0.1")

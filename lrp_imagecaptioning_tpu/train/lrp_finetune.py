@@ -361,7 +361,12 @@ class LRPFinetuner:
         if self.mesh is not None:
             from ..parallel import batch_sharding
 
-            return jax.device_put(arr, batch_sharding(self.mesh))
+            data_size = self.mesh.shape.get("data", 1)
+            if arr.shape[0] % data_size == 0:
+                return jax.device_put(arr, batch_sharding(self.mesh))
+            # ragged batch: device_put with an uneven NamedSharding raises;
+            # leave uncommitted (run() also drops epoch-tail batches on a
+            # mesh, so this is defense in depth)
         return jnp.asarray(arr)
 
     def _place_stacked(self, arr):
@@ -384,26 +389,32 @@ class LRPFinetuner:
 
         from .step import run_stepped_steps
 
-        self._rng = jax.random.fold_in(self._base_rng, save_idx)
-        gen = prefetch(self.provider.training_set(
-            pad_to_length=self._T, skip_batches=save_idx * epoch_length))
-        # metrics stay device-side until the chunk ends (no per-step sync)
-        acc = {"loss": [], "accuracy": []}
+        from .step import metric_accumulator
 
-        def record(m):
-            for key in acc:
-                acc[key].append(jnp.sum(m[key]))
+        self._rng = jax.random.fold_in(self._base_rng, save_idx)
+        # mesh runs drop ragged epoch-tail batches (sharded in_shardings
+        # reject batch dims not divisible by the data axis)
+        gen = prefetch(self.provider.training_set(
+            pad_to_length=self._T, skip_batches=save_idx * epoch_length,
+            drop_remainder=(self.mesh is not None)))
+        # metrics stay device-side until the chunk ends (no per-step sync)
+        record, finalize = metric_accumulator()
 
         def split_rng(n):
             self._rng, sub = jax.random.split(self._rng)
             return jax.random.split(sub, n)
 
-        self.params, self.opt_state = run_stepped_steps(
-            gen, epoch_length, self._steps_per_call, self._place, split_rng,
-            self._multi_step, self._step, self.params, self.opt_state, record,
-            place_stacked=self._place_stacked,
-        )
-        metrics = {k: (float(jnp.sum(jnp.stack(vs))) if vs else 0.0) / max(epoch_length, 1)
-                   for k, vs in acc.items()}
+        try:
+            self.params, self.opt_state = run_stepped_steps(
+                gen, epoch_length, self._steps_per_call, self._place, split_rng,
+                self._multi_step, self._step, self.params, self.opt_state, record,
+                place_stacked=self._place_stacked,
+            )
+        finally:
+            # each chunk creates its own producer thread; an abandoned one
+            # busy-polls forever while pinning ~10 decoded image batches
+            # (50 chunks = 50 spinning threads without this)
+            gen.stop()
+        metrics = finalize(epoch_length)
         save_checkpoint(result_dir, save_idx, self.params, self.opt_state, metric=metrics["accuracy"])
         return metrics

@@ -11,6 +11,7 @@ out).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..models.captioner import masked_accuracy
@@ -82,6 +83,25 @@ def make_multi_train_step(captioner, optimizer, donate: bool = True):
 
     kw = {"donate_argnums": (0, 1)} if donate else {}
     return jax.jit(multi_step, **kw)
+
+
+def metric_accumulator(keys=("loss", "accuracy")):
+    """Device-side metric accumulation shared by Trainer and LRPFinetuner.
+
+    ``record(m)`` appends per-dispatch device sums (no host sync per step);
+    ``finalize(steps)`` performs ONE device reduction + transfer per metric
+    and returns host floats averaged over ``steps``."""
+    acc = {k: [] for k in keys}
+
+    def record(m):
+        for k in acc:
+            acc[k].append(jnp.sum(m[k]))
+
+    def finalize(steps):
+        return {k: (float(jnp.sum(jnp.stack(vs))) if vs else 0.0) / max(steps, 1)
+                for k, vs in acc.items()}
+
+    return record, finalize
 
 
 def run_stepped_steps(generator, steps, K, place, split_rng, multi_fn, single_fn,

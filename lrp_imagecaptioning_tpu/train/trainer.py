@@ -30,6 +30,7 @@ from .checkpoint import latest_checkpoint, restore_checkpoint, save_checkpoint
 from .optimizer import get_learning_rate, make_optimizer, set_learning_rate
 from .step import (
     make_eval_step,
+    metric_accumulator,
     make_multi_train_step,
     make_sharded_multi_train_step,
     make_sharded_train_step,
@@ -108,6 +109,13 @@ class Trainer:
         if mesh is not None:
             if self._multihost and self._steps_per_call > 1:
                 raise ValueError("steps_per_call > 1 is not supported with multihost batch assembly")
+            data_size = mesh.shape.get("data", 1)
+            if config.batch_size % data_size:
+                # fail at construction, not at the first sharded dispatch:
+                # in_shardings rejects batch dims not divisible by the data axis
+                raise ValueError(
+                    f"batch_size {config.batch_size} not divisible by the "
+                    f"mesh data-axis size {data_size}")
             self._train_step, place = make_sharded_train_step(
                 self.captioner, self.optimizer, mesh, params_template=self.params,
                 opt_state_template=self.opt_state,
@@ -196,11 +204,7 @@ class Trainer:
     def _epoch(self, generator, steps: int, training: bool):
         # metrics stay device-side until the epoch ends — a float() per step
         # would force a host sync per step
-        acc = {"loss": [], "accuracy": []}
-
-        def record(m):
-            for k in acc:
-                acc[k].append(jnp.sum(m[k]))
+        record, finalize = metric_accumulator()
 
         if training:
             K = self._steps_per_call if self._multi_step is not None else 1
@@ -214,9 +218,7 @@ class Trainer:
                 (cap_in, imgs), y = next(generator)
                 record(self._eval_step(self.params, self._place(imgs),
                                        self._place(cap_in), self._place(y)))
-        # ONE device reduction + transfer per metric
-        return {k: (float(jnp.sum(jnp.stack(vs))) if vs else 0.0) / max(steps, 1)
-                for k, vs in acc.items()}
+        return finalize(steps)
 
     def run(self, epochs: Optional[int] = None, time_limit: Optional[str] = None,
             steps_per_epoch: Optional[int] = None, log_prefix: str = "") -> list[dict]:
@@ -232,8 +234,13 @@ class Trainer:
         from ..data.prefetch import prefetch
 
         # background producer overlaps image decode with device compute
-        # (GeneratorEnqueuer equivalent, inference.py:63-92)
-        train_gen = prefetch(self.provider.training_set(pad_to_length=T))
+        # (GeneratorEnqueuer equivalent, inference.py:63-92). Mesh runs drop
+        # the ragged epoch-tail batch: the sharded train step's in_shardings
+        # REJECTS batch dims not divisible by the data axis (the generator is
+        # infinite, so the epoch just rolls into the next pass). Validation
+        # tails are fine — the eval step is a plain jit.
+        train_gen = prefetch(self.provider.training_set(
+            pad_to_length=T, drop_remainder=(self.mesh is not None)))
         val_gen = prefetch(self.provider.validation_set(pad_to_length=T))
         # resumed runs append to the existing CSV history rather than wiping it
         csv_log = CSVLog(os.path.join(self.result_dir, "metrics-log.csv"),
@@ -256,6 +263,23 @@ class Trainer:
         # resumed runs continue the numbering (Keras initial_epoch semantics:
         # `epochs` is the TOTAL target, so epochs <= initial_epoch runs none)
         epoch = self._initial_epoch
+        try:
+            self._run_epochs(epochs, steps_per_epoch, epoch, train_gen, val_gen,
+                             inference, plateau, time_stop, explode_stop,
+                             csv_log, history, log_prefix)
+        finally:
+            # stop the producer threads even when an epoch raises — each
+            # abandoned PrefetchingGenerator busy-polls forever while pinning
+            # its queue of decoded image batches
+            train_gen.stop()
+            val_gen.stop()
+        csv_log.close()
+        cfg.save_yaml(os.path.join(self.result_dir, "config.yaml"))
+        return history
+
+    def _run_epochs(self, epochs, steps_per_epoch, epoch, train_gen, val_gen,
+                    inference, plateau, time_stop, explode_stop, csv_log,
+                    history, log_prefix):
         while epochs is None or epoch < epochs:
             ts_start = time.time()
             steps = steps_per_epoch or self.provider.training_steps
@@ -293,9 +317,6 @@ class Trainer:
             epoch += 1
             if time_stop.should_stop() or explode_stop.should_stop(logs.get("val_loss")):
                 break
-        csv_log.close()
-        cfg.save_yaml(os.path.join(self.result_dir, "config.yaml"))
-        return history
 
 
 MODELTYPE = ("adaptiveattention", "gridTD", "aoa")

@@ -304,6 +304,69 @@ def test_trainer_mesh_steps_per_call(tmp_path, monkeypatch, rng):
     assert np.isfinite(logs["loss"]) and np.isfinite(logs["accuracy"])
 
 
+def test_trainer_mesh_rejects_indivisible_batch(tmp_path, monkeypatch):
+    """Mesh training fails at CONSTRUCTION when batch_size % data axis != 0
+    (the sharded step's in_shardings would otherwise raise mid-epoch)."""
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.train.trainer import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    cfg = FlickrConfig(
+        embedding_dim=16, hidden_dim=16, sentence_length=5, batch_size=6,
+        drop_rate=0.0, rare_words_handling="nothing",
+        image_size=(32, 32), img_feature_length=4,
+    )
+    ds = SyntheticDataset(cfg, n_train=12, n_val=2, n_test=2)
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer("adaptiveattention", cfg, ds, label="bad", eval_metrics=False,
+                mesh=make_mesh(4))
+
+
+def test_lrp_finetuner_place_tolerates_ragged_batch(rng):
+    """LRPFinetuner._place must not crash on a batch not divisible by the
+    data axis (device_put with an uneven NamedSharding raises); ragged
+    batches stay uncommitted."""
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.data.provider import DatasetProvider
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import LRPFinetuner
+
+    cfg = CFG.replace(batch_size=8, rare_words_handling="nothing")
+    ds = SyntheticDataset(cfg, n_train=8, n_val=2, n_test=2)
+    provider = DatasetProvider(ds, cfg)
+    cap = build_captioner("adaptiveattention", cfg, provider.vocab_size)
+    params = cap.init_params(jax.random.PRNGKey(0))
+    tuner = LRPFinetuner(cap, params, provider, mesh=make_mesh(8))
+    ragged = np.zeros((5, 8, 8, 3), np.float32)  # 5 % 8 != 0
+    out = tuner._place(ragged)
+    assert out.shape == ragged.shape
+    even = np.zeros((8, 8, 8, 3), np.float32)
+    assert tuner._place(even).sharding.spec != ()  # sharded over data
+
+
+@pytest.mark.slow
+def test_trainer_mesh_run_drops_ragged_tail(tmp_path, monkeypatch):
+    """Trainer.run on a mesh survives a dataset whose epoch tail is not
+    divisible by the data axis: the training generator drops the short tail
+    (the sharded step's in_shardings rejects uneven batches) while the
+    plain-jit validation step still consumes its ragged tail."""
+    from lrp_imagecaptioning_tpu.data.datasets import SyntheticDataset
+    from lrp_imagecaptioning_tpu.train.trainer import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    cfg = FlickrConfig(
+        embedding_dim=16, hidden_dim=16, sentence_length=5, batch_size=8,
+        drop_rate=0.0, rare_words_handling="nothing", learning_rate=1e-3,
+        image_size=(32, 32), img_feature_length=4,
+    )
+    # 10 % 8 = ragged train tail of 2; 3 % 8 = ragged validation tail
+    ds = SyntheticDataset(cfg, n_train=10, n_val=3, n_test=2)
+    t = Trainer("adaptiveattention", cfg, ds, label="mesh-ragged",
+                eval_metrics=False, mesh=make_mesh(8))
+    history = t.run(epochs=1)
+    assert len(history) == 1
+    assert np.isfinite(history[0]["loss"]) and np.isfinite(history[0]["val_loss"])
+
+
 @pytest.mark.slow
 def test_multi_lrp_finetune_step_matches_chained(rng):
     """K scanned LRP-finetune steps == K chained single steps."""
