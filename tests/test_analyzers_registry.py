@@ -199,7 +199,7 @@ def test_linear_pattern_recovers_signal_direction():
     a = a / (w.T @ a)  # normalize so wᵀa = 1 → y_signal = y
     y = rng.normal(size=(n, 1)).astype(np.float32)
     noise = rng.normal(size=(n, d)).astype(np.float32)
-    noise -= (noise @ w) @ w.T / float(w.T @ w)  # project out w
+    noise -= (noise @ w) @ w.T / float((w.T @ w)[0, 0])  # project out w
     X = y @ a.T + noise
     Y = X @ w
     # Pattern estimator: cov(x,y)/ (wᵀ cov(x,y))
