@@ -362,6 +362,15 @@ def vgg_lrp_preset_a_wordbatched(params, image, relevance_seeds, arch="vgg16", u
     was half-idle anyway). Semantics are exact up to conv summation order;
     a zero pad row is added when W is odd. The packed region is skipped when
     ``until`` stops before block2_conv1.
+
+    Round-3 measured dead end (experiments/bench_grouped.py, sound K-slope
+    protocol, v5e): expressing the block-diagonal structure as XLA grouped
+    convolution (``feature_group_count=2``, which does only the useful MACs)
+    is ~2x SLOWER than the dense block-diagonal kernel on this hardware —
+    convT 3.29 vs 1.67 ms/chain, fwd 2.13 vs 1.87 ms at the conv1_2 packed
+    shape. TPU conv lowering does not exploit the group sparsity at C=64
+    groups; the "1.8 ms vs 1.0 ms waste-free floor" gap is therefore closed
+    as path-measured-worse, and the dense block-diagonal kernel stays.
     """
     if storage_dtype is not None:
         params = jax.tree.map(lambda a: a.astype(storage_dtype), params)
