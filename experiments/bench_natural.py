@@ -52,7 +52,12 @@ T = 20
 BUCKETS = (4, 8, 12, 16)
 
 
-def main():
+def measure(write_json_path=None):
+    """Run the three dispatch policies; return the results dict.
+
+    ``write_json_path``: also dump the results (plus protocol metadata) as a
+    committed benchmark artifact (bench.py LRPIC_BENCH_NATURAL=1 uses this).
+    """
     from lrp_imagecaptioning_tpu.config import FlickrConfig
     from lrp_imagecaptioning_tpu.explain.engine import Explainer, _n_explained
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
@@ -146,9 +151,26 @@ def main():
         print(f"{name:16s}: {img_s:7.2f} img/s (explain stage)", flush=True)
 
     speedup = results["length_sorted"] / results["batch_max"]
-    print(json.dumps({"explain_img_per_s": results,
-                      "sorted_vs_batchmax": round(speedup, 3),
-                      "lengths_mean": float(lengths.mean())}))
+    out = {"explain_img_per_s": results,
+           "sorted_vs_batchmax": round(speedup, 3),
+           "lengths_mean": float(lengths.mean()),
+           "protocol": {
+               "n_images": N_IMAGES, "batch": BATCH, "vocab": VOCAB, "T": T,
+               "buckets": list(BUCKETS), "storage_dtype": "bfloat16",
+               "lengths": "clip(round(N(10,3)), 4, 20), seed 0",
+               "timed": "explain stage (decoder-LRP + CNN-LRP); per-image "
+                        "checksums fetched after the timed loop",
+               "backend": jax.devices()[0].platform,
+           }}
+    print(json.dumps(out))
+    if write_json_path is not None:
+        with open(write_json_path, "w") as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
+def main():
+    measure()
 
 
 if __name__ == "__main__":
