@@ -253,6 +253,65 @@ def _decoder_layer_list(decoder: dict, model_type: str):
     return layers
 
 
+def _encoder_layer_list(enc: dict, arch: str, until: str):
+    """[(layer_name, [(weight_name, array), ...]), ...] for the encoder, in
+    the Keras naming each importer reads back:
+
+    * vgg16/19 — keras.applications block names, ``kernel:0``/``bias:0``
+      (vgg.py::load_keras_vgg_h5)
+    * resnet50/101 — ``res{S}{b}_branch*`` conv layers (kernel only — the
+      importer ignores conv bias; the apply has none) + ``bn*`` BatchNorm
+      layers with gamma/beta/moving_mean/moving_variance
+      (resnet.py::load_keras_resnet50_h5)
+    * inception_v3 — creation-order-numbered ``conv2d_N`` /
+      ``batch_normalization_N`` (inception.py::load_keras_inception_v3_h5)
+    """
+    if arch.startswith("vgg"):
+        from .vgg import vgg_layers
+
+        layers = []
+        for op in vgg_layers(arch, until):
+            if op[0] != "conv":
+                continue
+            name = op[1]
+            p = enc[name]
+            layers.append((name, [(f"{name}/kernel:0", p["kernel"]),
+                                  (f"{name}/bias:0", p["bias"])]))
+        return layers
+    if arch in ("resnet50", "resnet101"):
+        from .resnet import _conv_names
+
+        layers = []
+        for conv_name, bn_name, _, _ in _conv_names(arch):
+            layers.append((conv_name,
+                           [(f"{conv_name}/kernel:0", enc[conv_name]["kernel"])]))
+            bp = enc[bn_name]
+            layers.append((bn_name, [
+                (f"{bn_name}/gamma:0", bp["gamma"]),
+                (f"{bn_name}/beta:0", bp["beta"]),
+                (f"{bn_name}/moving_mean:0", bp["moving_mean"]),
+                (f"{bn_name}/moving_variance:0", bp["moving_var"]),
+            ]))
+        return layers
+    if arch == "inception_v3":
+        from .inception import CONV_ORDER
+
+        layers = []
+        for idx, name in enumerate(CONV_ORDER, start=1):
+            p = enc[name]
+            layers.append((f"conv2d_{idx}",
+                           [(f"conv2d_{idx}/kernel:0", p["kernel"])]))
+            bn = f"batch_normalization_{idx}"
+            layers.append((bn, [
+                (f"{bn}/gamma:0", p["bn_gamma"]),
+                (f"{bn}/beta:0", p["bn_beta"]),
+                (f"{bn}/moving_mean:0", p["bn_mean"]),
+                (f"{bn}/moving_variance:0", p["bn_var"]),
+            ]))
+        return layers
+    raise ValueError(f"unknown encoder arch {arch!r}")
+
+
 def save_reference_checkpoint_h5(path: str, params: dict, model_type: str,
                                  arch: str = "vgg16", until: str = "block5_conv3") -> None:
     """Write a Keras-2.2.4 ``save_weights`` HDF5 (the reference checkpoint
@@ -262,27 +321,14 @@ def save_reference_checkpoint_h5(path: str, params: dict, model_type: str,
     attrs ``layer_names`` / ``backend`` / ``keras_version``, one group per
     layer with a ``weight_names`` attr, datasets at ``<weight name>:0`` paths.
     A Keras-2.2.4 environment (or this repo's importers) can load the result;
-    the export->import round trip is bit-exact (tests/test_weights_io.py).
-
-    Encoder export currently covers the VGG family (the reference's default
-    and only trained encoder); resnet/inception export raises.
+    the export->import round trip is bit-exact for all five encoders x three
+    decoders (tests/test_weights_io.py).
     """
     import h5py
 
-    if not arch.startswith("vgg"):
-        raise NotImplementedError(
-            f"Keras-layout export implemented for vgg encoders (got {arch!r})")
-    from .vgg import vgg_layers
-
     layers = []
     if "vgg" in params:
-        for op in vgg_layers(arch, until):
-            if op[0] != "conv":
-                continue
-            name = op[1]
-            p = params["vgg"][name]
-            layers.append((name, [(f"{name}/kernel:0", p["kernel"]),
-                                  (f"{name}/bias:0", p["bias"])]))
+        layers += _encoder_layer_list(params["vgg"], arch, until)
     layers += _decoder_layer_list(params["decoder"], model_type)
 
     with h5py.File(path, "w") as f:
