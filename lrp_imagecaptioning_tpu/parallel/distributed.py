@@ -27,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
+from .mesh import DATA_AXIS, MODEL_AXIS, batch_sharding, stacked_batch_sharding
 
 
 def initialize_distributed(coordinator_address: str | None = None,
@@ -133,6 +133,25 @@ def global_batch_from_local(mesh: Mesh, local_array: np.ndarray,
     global_shape = (global_batch, *local_array.shape[1:])
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_array),
                                                   global_shape)
+
+
+def global_stacked_batch_from_local(mesh: Mesh, local_array: np.ndarray,
+                                    global_batch: int | None = None):
+    """``global_batch_from_local`` for (K, B_local, ...) ``steps_per_call``
+    stacks: the scan (K) axis stays whole on every device, the batch axis
+    (axis 1) assembles across processes into ``global_batch`` rows.
+
+    Each process stacks only its own K local batches; the returned jax.Array
+    has global shape (K, global_batch, ...) sharded ``P(None, 'data')`` — the
+    layout ``make_sharded_multi_train_step`` expects — again with no
+    cross-host data movement.
+    """
+    local_array = np.asarray(local_array)
+    if global_batch is None:
+        global_batch = local_array.shape[1] * max(jax.process_count(), 1)
+    global_shape = (local_array.shape[0], global_batch, *local_array.shape[2:])
+    return jax.make_array_from_process_local_data(
+        stacked_batch_sharding(mesh), local_array, global_shape)
 
 
 def shard_global_batch(mesh: Mesh, *local_arrays, global_batch: int | None = None):

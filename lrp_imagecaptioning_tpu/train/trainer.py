@@ -103,12 +103,12 @@ class Trainer:
         # host->device dispatch round trip, which dominates chained single
         # steps on relay-attached TPUs (make_multi_train_step docstring has
         # the measurements). Ragged epoch tails fall back to single steps.
-        # Composes with a mesh (make_sharded_multi_train_step); multihost
-        # stacked-batch assembly is not implemented, so that pair still raises.
+        # Composes with a mesh (make_sharded_multi_train_step) and with
+        # multihost=True (each process stacks its K local batches;
+        # global_stacked_batch_from_local assembles the (K, B_global, ...)
+        # arrays with no cross-host gather).
         self._steps_per_call = max(int(steps_per_call), 1)
         if mesh is not None:
-            if self._multihost and self._steps_per_call > 1:
-                raise ValueError("steps_per_call > 1 is not supported with multihost batch assembly")
             data_size = mesh.shape.get("data", 1)
             if config.batch_size % data_size:
                 # fail at construction, not at the first sharded dispatch:
@@ -159,6 +159,10 @@ class Trainer:
 
     def _place_stacked(self, arr):
         """(K, B, ...) stacks: shard the batch axis (axis 1) over data."""
+        if self._multihost:
+            from ..parallel.distributed import global_stacked_batch_from_local
+
+            return global_stacked_batch_from_local(self.mesh, arr)
         if self.mesh is not None:
             from ..parallel import stacked_batch_sharding
 

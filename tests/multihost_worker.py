@@ -41,13 +41,17 @@ def main():
     from lrp_imagecaptioning_tpu.config import FlickrConfig
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
     from lrp_imagecaptioning_tpu.parallel.distributed import (
+        global_stacked_batch_from_local,
         initialize_distributed,
         make_multihost_mesh,
         process_batch_slice,
         shard_global_batch,
     )
     from lrp_imagecaptioning_tpu.train.optimizer import make_optimizer
-    from lrp_imagecaptioning_tpu.train.step import make_sharded_train_step
+    from lrp_imagecaptioning_tpu.train.step import (
+        make_sharded_multi_train_step,
+        make_sharded_train_step,
+    )
 
     n = initialize_distributed(coordinator_address=f"localhost:{port}",
                                num_processes=nproc, process_id=pid)
@@ -84,8 +88,29 @@ def main():
                                     jax.random.PRNGKey(100 + i))
         losses.append(float(m["loss"]))
 
+    # steps_per_call x multihost: scan the SAME 3 steps in one dispatch from
+    # the same initial state — each process stacks only its K local batches
+    # and global_stacked_batch_from_local assembles (K, B_global, ...) with
+    # no cross-host gather. Losses must match the chained singles above.
+    params2 = cap.init_params(jax.random.PRNGKey(0))
+    opt_state2 = opt.init(params2)
+    multi, mplace = make_sharded_multi_train_step(
+        cap, opt, mesh, shard_vocab=True, params_template=params2,
+        opt_state_template=opt_state2, donate=False)
+    params2, opt_state2 = mplace(params2, opt_state2)
+    local = g_images[sl]
+    s_images = global_stacked_batch_from_local(
+        mesh, np.stack([local] * 3), global_batch=8)
+    s_caps = global_stacked_batch_from_local(
+        mesh, np.stack([g_caps[sl]] * 3), global_batch=8)
+    s_y = global_stacked_batch_from_local(
+        mesh, np.stack([g_y[sl]] * 3), global_batch=8)
+    rngs = jax.numpy.stack([jax.random.PRNGKey(100 + i) for i in range(3)])
+    _, _, mm = multi(params2, opt_state2, s_images, s_caps, s_y, rngs)
+    multi_losses = [float(v) for v in mm["loss"]]
+
     with open(outpath, "w") as f:
-        json.dump({"pid": pid, "losses": losses}, f)
+        json.dump({"pid": pid, "losses": losses, "multi_losses": multi_losses}, f)
 
 
 if __name__ == "__main__":

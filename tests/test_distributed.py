@@ -82,6 +82,12 @@ def test_two_process_multihost_training():
     np.testing.assert_array_equal(l0, l1)
     assert all(np.isfinite(l0))
     assert l0[2] < l0[0], f"loss did not decrease: {l0}"
+    # steps_per_call x multihost: the scanned 3-step dispatch reproduces the
+    # chained singles (same equivalence tolerance as the single-process
+    # multi-vs-chained tests in test_train.py — XLA reduction-order noise)
+    m0, m1 = results[0]["multi_losses"], results[1]["multi_losses"]
+    np.testing.assert_array_equal(m0, m1)
+    np.testing.assert_allclose(m0, l0, rtol=1e-3)
 
     # single-process 4-device reference (same batch, same seeds)
     from lrp_imagecaptioning_tpu.config import FlickrConfig
@@ -151,6 +157,24 @@ def test_global_batch_from_local_matches_device_put(rng):
 
     f = jax.jit(lambda a: jnp.sum(a * a, axis=1))
     np.testing.assert_allclose(np.asarray(f(g)), np.asarray(f(direct)))
+
+
+def test_global_stacked_batch_from_local_matches_device_put(rng):
+    """1-process: the (K, B, ...) steps_per_call stack assembles to the same
+    array + sharding as a direct stacked device_put (multihost composition
+    leg of the dispatch-amortization lever, VERDICT r2 item 6)."""
+    from lrp_imagecaptioning_tpu.parallel import stacked_batch_sharding
+    from lrp_imagecaptioning_tpu.parallel.distributed import (
+        global_stacked_batch_from_local,
+    )
+
+    mesh = make_mesh(8)
+    x_local = rng.normal(size=(3, 16, 5)).astype(np.float32)
+    g = global_stacked_batch_from_local(mesh, x_local)
+    direct = jax.device_put(x_local, stacked_batch_sharding(mesh))
+    assert g.shape == (3, 16, 5)
+    assert g.sharding == NamedSharding(mesh, P(None, "data"))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(direct))
 
 
 def test_shard_global_batch_multiple_arrays(rng):
