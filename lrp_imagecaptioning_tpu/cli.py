@@ -325,6 +325,7 @@ def cmd_serve(args):
             ("--beam-size", args.beam_size, 3),
             ("--mesh", getattr(args, "mesh", 0), 0),
             ("--shard-words", getattr(args, "shard_words", False), False),
+            ("--split-buckets", getattr(args, "split_buckets", False), False),
         ):
             if val != default:
                 print(f"warning: {flag} is fixed at export time; ignoring "
@@ -353,7 +354,8 @@ def cmd_serve(args):
         svc = CaptionService(captioner, params, provider.caption_preprocessor,
                              batch_size=serve_batch, beam_size=args.beam_size,
                              mesh=mesh,
-                             shard_words=bool(getattr(args, "shard_words", False)))
+                             shard_words=bool(getattr(args, "shard_words", False)),
+                             split_buckets=bool(getattr(args, "split_buckets", False)))
         print(f"warming up (batch {serve_batch}, beam {args.beam_size}, "
               f"explain={args.with_explain})...", flush=True)
         svc.warmup(explain=args.with_explain, method=args.method or "lrp")
@@ -480,6 +482,10 @@ def main(argv=None):
                    help="front-end protocol (grpc_server.py generic-bytes service)")
     p.add_argument("--mesh", type=int, default=0,
                    help="shard request batches over an N-device data-parallel mesh")
+    p.add_argument("--split-buckets", dest="split_buckets", action="store_true",
+                   help="explain requests dispatch per caption-length bucket "
+                        "at ladder sub-batch sizes (latency mode; ~log2(batch)x "
+                        "warmup compile bill)")
     p.add_argument("--shard-words", action="store_true",
                    help="with --mesh: shard single-image explain requests over "
                         "the per-word backward passes (latency mode)")

@@ -425,7 +425,13 @@ class Explainer:
                 guided = vgg_guided_backprop(
                     params["vgg"], image[None], s[None], cap.cfg.img_encoder, cap.cfg.layer_name
                 )[0]
-                cam = grad_cam(feat_hw, s)
+                # upscale by the tap's actual stride, not a hardcoded 16: at
+                # the reference tap (block5_conv3, 224 -> 14x14) this is the
+                # reference's pyramid_expand x16 exactly; truncated taps
+                # (other layer_name) get their own stride + a resize for any
+                # remainder (same rule as the non-VGG encoder branch above)
+                cam = grad_cam(feat_hw, s, upscale=max(image.shape[0] // g, 1))
+                cam = jax.image.resize(cam, image.shape[:2], "bilinear")
                 return guided * cam[:, :, None]
 
             maps = jax.vmap(one_ggc)(seeds)
@@ -495,21 +501,33 @@ class Explainer:
             self._explain_batch_jit[bucket] = fn
         return fn
 
-    def warmup(self, images):
+    def warmup(self, images, sub_batches: bool = False):
         """Compile the batched decode and EVERY bucketed explain program.
 
         Serving (infer/serving.py) promises that no request pays
         tracing/compilation after ``warmup()``; with word-count bucketing a
         single dummy batch would only compile the bucket its captions land
         in, so this compiles each bucket size up front (buckets are few and
-        warmup is exactly the time to pay for them)."""
+        warmup is exactly the time to pay for them).
+
+        ``sub_batches=True`` additionally compiles each bucket program at
+        every size of the halving ladder (``_sub_batch_ladder``) so the
+        ``analyze_many(split_buckets=True)`` latency path never compiles at
+        request time either. This multiplies the warmup compile bill by
+        ~log2(batch) — pay it only for latency-mode services."""
         images = jnp.asarray(images)
         self._ensure_batch_programs()
         tokens, _ = self._decode_batch(self.params, images)
         toks = jnp.asarray(tokens, jnp.int32)
         for bucket in (*self._buckets, self._max_len):
-            jax.block_until_ready(
-                self._explain_batch_for(bucket)(self.params, images, toks))
+            fn = self._explain_batch_for(bucket)
+            jax.block_until_ready(fn(self.params, images, toks))
+            if sub_batches:
+                for size in self._sub_batch_ladder(images.shape[0]):
+                    if size >= images.shape[0]:
+                        continue
+                    jax.block_until_ready(
+                        fn(self.params, images[:size], toks[:size]))
         if self._shard_words:
             # latency mode: also compile the single-image decode and every
             # word-sharded bucket program (distinct W after mesh round-up)
@@ -561,7 +579,37 @@ class Explainer:
             betas=np.asarray(betas[b])[keep],
         )
 
-    def analyze_many(self, images, tokens_1based=None, batch_size=None) -> list:
+    def _sub_batch_ladder(self, B: int) -> tuple:
+        """Descending halving ladder of dispatch sizes <= B (``B, ceil(B/2),
+        ..., 1``), each rounded up to a multiple of the mesh's data-axis size
+        when a mesh is set (shard_map programs need divisible batches)."""
+        n_data = (self._mesh.shape[self._mesh.axis_names[0]]
+                  if self._mesh is not None else 1)
+        sizes, s = [], B
+        while s >= 1:
+            sizes.append(-(-s // n_data) * n_data)
+            if s == 1:
+                break
+            s = -(-s // 2)
+        return tuple(dict.fromkeys(sizes))  # dedupe, order preserved
+
+    def _cover_with_ladder(self, k: int, ladder: tuple) -> list:
+        """Split a group of ``k`` items into dispatch sizes from ``ladder``
+        (descending): greedily take the largest ladder size that fits, then
+        pad the remainder up to the smallest ladder size covering it — e.g.
+        k=7, ladder (8,4,2,1) -> [4, 2, 1]; k=5 -> [4, 1]; k=3 -> [2, 1]."""
+        sizes = []
+        while k > 0:
+            fit = next((s for s in ladder if s <= k), None)
+            if fit is None:  # remainder smaller than every ladder size:
+                sizes.append(ladder[-1])  # pad up to the smallest program
+                break
+            sizes.append(fit)
+            k -= fit
+        return sizes
+
+    def analyze_many(self, images, tokens_1based=None, batch_size=None,
+                     split_buckets: bool = False) -> list:
         """Dataset-scale analyze with length-sorted bucket dispatch.
 
         ``analyze_batch`` buckets by the LONGEST caption in the batch, so at
@@ -581,6 +629,19 @@ class Explainer:
         of the mesh's data-axis size when a mesh is set (shard_map programs
         need mesh-divisible batches). Only short chunks are padded (each
         program compiles once per bucket).
+
+        ``split_buckets``: latency mode for SMALL requests (n <= batch_size,
+        the serving micro-batch case). Length-sorting cannot help a single
+        chunk — it still dispatches once at the longest caption's bucket, so
+        the one long caption in a queue batch drags every image onto the big
+        program. With ``split_buckets=True`` the chunk is instead split into
+        per-bucket groups, each dispatched at the smallest covering size from
+        a halving ladder (``_sub_batch_ladder``) — images with short captions
+        run on their own small program (cost ~ their real length) instead of
+        the group max. Each (ladder-size x bucket) program compiles once on
+        first use; ``warmup(sub_batches=True)`` precompiles them all.
+        Dataset-scale requests (n >> batch_size) gain nothing (sorted full
+        chunks are already near-uniform) and keep the full-chunk dispatch.
         """
         images = jnp.asarray(images)
         n = images.shape[0]
@@ -617,6 +678,25 @@ class Explainer:
         order = np.argsort(n_words, kind="stable")
 
         out = [None] * n
+        if split_buckets:
+            ladder = self._sub_batch_ladder(B)
+            i = 0
+            while i < n:
+                # contiguous run of sorted images sharing one bucket
+                bucket = self._bucket_for(int(n_words[order[i]]))
+                j = i
+                while j < n and self._bucket_for(int(n_words[order[j]])) == bucket:
+                    j += 1
+                fn = self._explain_batch_for(bucket)
+                for size in self._cover_with_ladder(j - i, ladder):
+                    sel = order[i:i + min(size, j - i)]
+                    outs = fn(self.params, pad_to(images[sel], size),
+                              pad_to(toks[sel], size))
+                    chunk_toks = toks_np[sel]
+                    for k, b in enumerate(sel):
+                        out[int(b)] = self._assemble(chunk_toks, outs, k)
+                    i += len(sel)
+            return out
         for i in range(0, n, B):
             sel = order[i:i + B]
             fn = self._explain_batch_for(self._bucket_for(int(n_words[sel].max())))

@@ -37,7 +37,7 @@ class CaptionService:
     def __init__(self, captioner, params, caption_pp, batch_size: int = 8,
                  beam_size: int = 3, max_len: int | None = None,
                  compute_dtype=None, storage_dtype=None, mesh=None,
-                 shard_words: bool = False):
+                 shard_words: bool = False, split_buckets: bool = False):
         """``mesh``: a ``parallel.make_mesh`` device mesh — requests then
         shard over the mesh's data axis (params replicated), scaling serving
         throughput across chips with the same padded-batch contract.
@@ -46,13 +46,22 @@ class CaptionService:
         ``shard_words`` (requires ``mesh``): single-image ``explain()``
         requests shard the per-word backward passes over the mesh instead of
         waiting for a batch — the latency mode (``Explainer(shard_words=)``).
-        Multi-image requests keep sharding over images."""
+        Multi-image requests keep sharding over images.
+
+        ``split_buckets``: explain requests dispatch per caption-length
+        bucket at halving-ladder sub-batch sizes instead of one padded batch
+        at the longest caption's bucket (``Explainer.analyze_many``'s
+        ``split_buckets`` latency mode) — a micro-batched queue group's short
+        captions then cost their OWN length, not the group max. Multiplies
+        the explain warmup compile bill ~log2(batch_size)x; see
+        experiments/bench_serve_split.py for the measured latency delta."""
         self.captioner = captioner
         self.params = params
         self._mesh = mesh
         if shard_words and mesh is None:
             raise ValueError("shard_words=True requires a mesh")
         self._shard_words = bool(shard_words)
+        self._split_buckets = bool(split_buckets)
         if mesh is not None:
             from ..parallel import replicated
 
@@ -130,7 +139,8 @@ class CaptionService:
         dummy = jnp.zeros((self._B, h, w, 3), jnp.float32)
         self._compiled = self._decode.lower(self.params, dummy).compile()
         if explain:
-            self._get_explainer(method).warmup(dummy)
+            self._get_explainer(method).warmup(
+                dummy, sub_batches=self._split_buckets)
         return self
 
     def _get_explainer(self, method: str = "lrp"):
@@ -202,9 +212,12 @@ class CaptionService:
         else:
             # analyze_many chunks at the compiled batch size, pads short
             # chunks by repeating a REAL row (so pad captions can never widen
-            # the word-count bucket), and length-sorts multi-chunk requests
+            # the word-count bucket), and length-sorts multi-chunk requests;
+            # split_buckets additionally dispatches per-bucket ladder
+            # sub-batches so one long caption cannot drag a whole queue
+            # group onto the big program
             result = self._get_explainer(method).analyze_many(
-                images, batch_size=self._B)
+                images, batch_size=self._B, split_buckets=self._split_buckets)
         self._note_request(n, t0)
         return result
 
