@@ -78,12 +78,21 @@ class Captioner:
     vocab_size: int
     decoder: Any               # module: adaptive | gridtd
 
-    def init_params(self, key, vocab_words=None, word_vector_path=None):
+    def init_params(self, key, vocab_words=None, word_vector_path=None,
+                    encoder_params=None):
         """``vocab_words`` (model-id order) + ``cfg.pretrained_word_vector``
         ('glove'|'fasttext') seed the embedding table from a vector file
-        (reference _build_word_embedding, model.py:80-93)."""
+        (reference _build_word_embedding, model.py:80-93).
+
+        ``encoder_params``: reuse an already-built encoder tree (e.g. loaded
+        imagenet weights, or a shared random tree) instead of re-initializing
+        — encoder init is hundreds of eager random ops (~7-12 s for
+        resnet/inception on a slow host) and is the dominant cost of building
+        a captioner."""
         k1, k2 = jax.random.split(key)
-        if self.cfg.img_encoder in ("vgg16", "vgg19"):
+        if encoder_params is not None:
+            enc = encoder_params
+        elif self.cfg.img_encoder in ("vgg16", "vgg19"):
             enc = vgg.init_vgg_params(k1, self.cfg.img_encoder, self.cfg.layer_name)
         elif self.cfg.img_encoder in ("resnet50", "resnet101"):
             from . import resnet

@@ -10,7 +10,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is COMPILE-dominated (tiny tensors, hundreds of distinct
+# programs); XLA:CPU's backend optimization pipeline buys nothing at these
+# shapes but costs ~2x wall-clock (measured: test_train.py 240 s -> 123 s
+# cold). Level 0 only changes LLVM optimization effort, not HLO semantics;
+# the numerics-tolerance tests all pass (fusion differences are within the
+# tolerances already calibrated for load-dependent reduction order).
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -51,7 +60,10 @@ def _cpu_fingerprint() -> str:
 jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("LRPIC_TEST_CACHE", f"/tmp/lrpic_jax_cache_{_cpu_fingerprint()}"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# cache EVERYTHING: the suite recreates identical-HLO programs across tests
+# (each test builds its own jit closures), and sub-second compiles repeat
+# dozens of times — at threshold 0 the second occurrence is a cache hit
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -60,3 +72,32 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# -- shared expensive params ---------------------------------------------
+# Encoder param INIT is pure eager dispatch (hundreds of tiny random ops):
+# measured 7.4 s for resnet50 and 12 s for inception_v3 on this 1-core host,
+# re-paid by every test that built its own tree. Session scope pays each
+# once. Tests must not mutate these (jax arrays are immutable; rebinding a
+# fresh dict per test keeps tree-structure edits local).
+
+
+@pytest.fixture(scope="session")
+def resnet50_params():
+    from lrp_imagecaptioning_tpu.models import resnet
+
+    return resnet.init_resnet50_params(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="session")
+def resnet101_params():
+    from lrp_imagecaptioning_tpu.models import resnet
+
+    return resnet.init_resnet50_params(jax.random.PRNGKey(0), depth="resnet101")
+
+
+@pytest.fixture(scope="session")
+def inception_v3_params():
+    from lrp_imagecaptioning_tpu.models import inception
+
+    return inception.init_inception_v3_params(jax.random.PRNGKey(0))

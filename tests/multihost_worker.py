@@ -62,8 +62,8 @@ def main():
     mesh = make_multihost_mesh(model_parallel=2)
     assert mesh.devices.shape == (nproc, 2)
 
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=6, batch_size=8)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=6, batch_size=8)
     cap = build_captioner("adaptiveattention", cfg, 32)
     params = cap.init_params(jax.random.PRNGKey(0))
     opt = make_optimizer("adaptiveattention", 1e-3)
@@ -75,7 +75,7 @@ def main():
 
     # deterministic GLOBAL batch; this process materializes only its slice
     rng = np.random.default_rng(0)
-    g_images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    g_images = rng.normal(size=(8, 8, 8, 3)).astype(np.float32)
     g_caps = rng.integers(0, 32, size=(8, 7)).astype(np.int32)
     g_y = np.eye(32, dtype=np.float32)[rng.integers(0, 32, size=(8, 7))]
     sl = process_batch_slice(8)

@@ -201,30 +201,33 @@ def test_preset_a_lane_packed_matches_plain(rng):
     conv summation order — f32, odd word counts, W=1, and bf16 storage."""
     from lrp_imagecaptioning_tpu.explain.cnn_lrp import vgg_lrp_preset_a_wordbatched
 
-    params = init_vgg_params(jax.random.PRNGKey(0), "vgg16", "block3_conv1")
-    image = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
-    for W in (4, 5, 1):
-        seeds = jnp.asarray(rng.normal(size=(W, 8, 8, 256)).astype(np.float32))
+    params = init_vgg_params(jax.random.PRNGKey(0), "vgg16", "block2_conv1")
+    image = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+    # W=5 (odd: one word pairs with padding) and W=1 (degenerate) cover the
+    # packing edge cases; block2_conv1 keeps BOTH a packed C<=64 tail
+    # (block1 + pool1) and an unpacked 128-lane head conv in the walk
+    for W in (5, 1):
+        seeds = jnp.asarray(rng.normal(size=(W, 8, 8, 128)).astype(np.float32))
         plain = vgg_lrp_preset_a_wordbatched(
-            params, image, seeds, "vgg16", "block3_conv1", lane_pack=False)
+            params, image, seeds, "vgg16", "block2_conv1", lane_pack=False)
         packed = vgg_lrp_preset_a_wordbatched(
-            params, image, seeds, "vgg16", "block3_conv1", lane_pack=True)
-        assert packed.shape == plain.shape == (W, 32, 32, 3)
+            params, image, seeds, "vgg16", "block2_conv1", lane_pack=True)
+        assert packed.shape == plain.shape == (W, 16, 16, 3)
         np.testing.assert_allclose(np.asarray(packed), np.asarray(plain),
                                    rtol=1e-4, atol=1e-7, err_msg=f"W={W}")
     # bf16 storage mode (the bench configuration)
-    seeds = jnp.asarray(rng.normal(size=(4, 8, 8, 256)).astype(np.float32))
+    seeds = jnp.asarray(rng.normal(size=(4, 8, 8, 128)).astype(np.float32))
     plain = vgg_lrp_preset_a_wordbatched(
-        params, image, seeds, "vgg16", "block3_conv1",
+        params, image, seeds, "vgg16", "block2_conv1",
         storage_dtype=jnp.bfloat16, lane_pack=False)
     packed = vgg_lrp_preset_a_wordbatched(
-        params, image, seeds, "vgg16", "block3_conv1",
+        params, image, seeds, "vgg16", "block2_conv1",
         storage_dtype=jnp.bfloat16, lane_pack=True)
     scale = np.abs(np.asarray(plain)).max()
     assert np.abs(np.asarray(packed) - np.asarray(plain)).max() / scale < 0.02
     # shallow stacks (until inside block1/2) must silently skip packing
     params1 = init_vgg_params(jax.random.PRNGKey(0), "vgg16", "block1_conv2")
-    s1 = jnp.asarray(rng.normal(size=(3, 32, 32, 64)).astype(np.float32))
+    s1 = jnp.asarray(rng.normal(size=(3, 16, 16, 64)).astype(np.float32))
     a = vgg_lrp_preset_a_wordbatched(params1, image, s1, "vgg16", "block1_conv2", lane_pack=True)
     b = vgg_lrp_preset_a_wordbatched(params1, image, s1, "vgg16", "block1_conv2", lane_pack=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8)

@@ -10,7 +10,8 @@ from lrp_imagecaptioning_tpu.models import aoa
 from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
 CFG = FlickrConfig(
-    embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
+    embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+    img_feature_length=16, img_feature_dim=128, image_size=(8, 8),
     sentence_length=5, drop_rate=0.0,
 )
 VOCAB = 16
@@ -62,7 +63,7 @@ def test_aoa_train_step_reduces_loss(rng):
     opt_state = opt.init(params)
     step = make_train_step(cap, opt, donate=False)
     B, T = 4, 6
-    images = jnp.asarray(rng.normal(size=(B, 32, 32, 3)).astype(np.float32))
+    images = jnp.asarray(rng.normal(size=(B, 8, 8, 3)).astype(np.float32))
     caps = jnp.asarray(rng.integers(0, VOCAB, size=(B, T)).astype(np.int32))
     y = jax.nn.one_hot(jnp.asarray(rng.integers(0, VOCAB, size=(B, T))), VOCAB)
     losses = []
@@ -89,10 +90,10 @@ def test_aoa_explainer(method, rng):
     cap = build_captioner("aoa", CFG, VOCAB)
     params = cap.init_params(jax.random.PRNGKey(0))
     ex = Explainer(cap, params, FakePP(), method=method)
-    image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    image = jnp.asarray(rng.normal(size=(8, 8, 3)).astype(np.float32))
     tokens = np.array([5, 7, 2, 0, 0], np.int32)
     result = ex.analyze(image, tokens_1based=tokens)
-    assert result.relevance_maps.shape == (2, 32, 32, 3)
+    assert result.relevance_maps.shape == (2, 8, 8, 3)
     assert np.isfinite(result.relevance_maps).all()
     assert np.abs(result.relevance_maps).sum() > 0
 

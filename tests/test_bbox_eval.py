@@ -15,9 +15,22 @@ from lrp_imagecaptioning_tpu.evalx.bbox import (
 from lrp_imagecaptioning_tpu.explain.engine import Explainer
 from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-CFG = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                   img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+CFG = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                   img_feature_length=16, img_feature_dim=128,
+                   image_size=(8, 8), sentence_length=5, drop_rate=0.0)
 VOCAB = 16
+
+
+_CAP_CACHE = {}
+
+
+def _cap(model_type="adaptiveattention"):
+    """Module-level memo of (captioner, params): init is pure eager dispatch
+    re-paid by every test otherwise. Params are immutable jax arrays."""
+    if model_type not in _CAP_CACHE:
+        cap = build_captioner(model_type, CFG, VOCAB)
+        _CAP_CACHE[model_type] = (cap, cap.init_params(jax.random.PRNGKey(0)))
+    return _CAP_CACHE[model_type]
 
 
 class PP:
@@ -50,8 +63,7 @@ def test_process_heatmap_negation_and_projection(rng):
 
 
 def test_evaluation_bbox_end_to_end(rng):
-    cap = build_captioner("adaptiveattention", CFG, VOCAB)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     ex = Explainer(cap, params, PP(), method="lrp", beam_size=2)
     category_dict = {
         "img0.jpg": {
@@ -59,13 +71,13 @@ def test_evaluation_bbox_end_to_end(rng):
             # is 'man'; include a catch-all category name matching any wN
             "categories": {"person": "1", **{f"w{i}": str(i) for i in range(3, 17)},
                            "man": "77", "dog": "78", "a": "79"},
-            "bbox": {str(i): [[0, 0, 16, 16]] for i in list(range(3, 17)) + [1, 77, 78, 79]},
-            "shape": (32, 32),
+            "bbox": {str(i): [[0, 0, 4, 4]] for i in list(range(3, 17)) + [1, 77, 78, 79]},
+            "shape": (8, 8),
             "resize_ratio": (1.0, 1.0),
         }
     }
     ev = EvaluationBbox(category_dict, ex, negate=True)
-    image = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    image = rng.normal(size=(8, 8, 3)).astype(np.float32)
     lrp_s, att_s, keys = ev.evaluate(image, "img0.jpg")
     # scores dict per matched category with all 10 thresholds in [0, 1]
     for scores in (lrp_s, att_s):

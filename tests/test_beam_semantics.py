@@ -79,8 +79,10 @@ def test_beam_matches_python_reference_heap(model_type, rng):
 
 
 def test_beam_matches_python_reference_multiple_seeds(rng):
-    """Sweep several weight seeds to cover complete-vs-partial outcomes."""
-    for seed in range(4, 10):
+    """Sweep several weight seeds to cover complete-vs-partial outcomes.
+    (3 seeds in the smoke tier; the beam program compiles once — the sweep
+    cost is the eager-mode python oracle.)"""
+    for seed in range(4, 7):
         cap = build_captioner("adaptiveattention", CFG, VOCAB)
         params = cap.init_params(jax.random.PRNGKey(seed))
         feat = jnp.asarray(rng.normal(size=(1, CFG.img_feature_length, CFG.img_feature_dim)).astype(np.float32))
@@ -101,7 +103,7 @@ def test_beam_matches_python_reference_multiple_seeds(rng):
         np.testing.assert_allclose(float(score[0]), exp_score, rtol=1e-3)
 
 
-@pytest.mark.parametrize("beam_size", [1, 2, 4, 5, 8])
+@pytest.mark.parametrize("beam_size", [1, 5, 8])  # greedy-equivalent, beam > pooled-top-k interior, beam ~ vocab edge
 def test_beam_matches_python_reference_wide_widths(beam_size, rng):
     """Widths beyond the reference's fixed beam=3 (incl. beam > top-k edge
     cases near vocab size) must still match the heap oracle."""

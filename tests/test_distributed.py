@@ -96,8 +96,8 @@ def test_two_process_multihost_training():
     from lrp_imagecaptioning_tpu.train.step import make_sharded_train_step
 
     mesh = make_mesh(4, model_parallel=2)
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=6, batch_size=8)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=6, batch_size=8)
     cap = build_captioner("adaptiveattention", cfg, 32)
     params = cap.init_params(jax.random.PRNGKey(0))
     opt = make_optimizer("adaptiveattention", 1e-3)
@@ -108,7 +108,7 @@ def test_two_process_multihost_training():
     params, opt_state = place(params, opt_state)
 
     r = np.random.default_rng(0)
-    images = r.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    images = r.normal(size=(8, 8, 8, 3)).astype(np.float32)
     caps = r.integers(0, 32, size=(8, 7)).astype(np.int32)
     y = np.eye(32, dtype=np.float32)[r.integers(0, 32, size=(8, 7))]
     images, caps, y = shard_batch(mesh, images, caps, y)
@@ -194,8 +194,8 @@ def test_opt_state_mirrors_param_shardings():
     from lrp_imagecaptioning_tpu.parallel import opt_state_shardings, param_shardings
     from lrp_imagecaptioning_tpu.train.optimizer import make_optimizer
 
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=6, batch_size=4)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=6, batch_size=4)
     mesh = make_mesh(8, model_parallel=2)
     cap = build_captioner("adaptiveattention", cfg, 32)
     params = cap.init_params(jax.random.PRNGKey(0))
@@ -231,8 +231,8 @@ def test_sharded_step_keeps_opt_state_sharded(rng):
     from lrp_imagecaptioning_tpu.train.optimizer import make_optimizer
     from lrp_imagecaptioning_tpu.train.step import make_sharded_train_step
 
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=6, batch_size=8)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=6, batch_size=8)
     mesh = make_mesh(8, model_parallel=2)
     cap = build_captioner("adaptiveattention", cfg, 32)
     params = cap.init_params(jax.random.PRNGKey(0))
@@ -243,7 +243,7 @@ def test_sharded_step_keeps_opt_state_sharded(rng):
         opt_state_template=opt_state, donate=False)
     params, opt_state = place(params, opt_state)
 
-    images = jnp.asarray(rng.normal(size=(8, 32, 32, 3)).astype(np.float32))
+    images = jnp.asarray(rng.normal(size=(8, 8, 8, 3)).astype(np.float32))
     caps = jnp.asarray(rng.integers(0, 32, size=(8, 7)).astype(np.int32))
     y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 32, size=(8, 7))), 32)
     images, caps, y = shard_batch(mesh, images, caps, y)
@@ -272,11 +272,11 @@ def test_mesh_sharded_serving_matches_single_device(rng):
         EOS_TOKEN_LABEL_ENCODED = 2
         word_of = {i: f"w{i}" for i in range(1, 17)}
 
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=5, drop_rate=0.0)
     cap = build_captioner("adaptiveattention", cfg, 16)
     params = cap.init_params(jax.random.PRNGKey(0))
-    images = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    images = rng.normal(size=(8, 8, 8, 3)).astype(np.float32)
 
     single = CaptionService(cap, params, PP(), batch_size=8, beam_size=1)
     mesh = make_mesh(8)
@@ -311,11 +311,11 @@ def test_mesh_analyze_many_matches_single_device(rng):
         EOS_TOKEN_LABEL_ENCODED = 2
         word_of = {i: f"w{i}" for i in range(1, 17)}
 
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=5, drop_rate=0.0)
     cap = build_captioner("adaptiveattention", cfg, 16)
     params = cap.init_params(jax.random.PRNGKey(0))
-    images = rng.normal(size=(10, 32, 32, 3)).astype(np.float32)
+    images = rng.normal(size=(10, 8, 8, 3)).astype(np.float32)
     tokens = np.zeros((10, 5), np.int32)
     for b in range(10):  # varied lengths -> several buckets
         ln = 1 + b % 4
@@ -357,11 +357,11 @@ def test_word_sharded_analyze_matches_single_device(rng):
         EOS_TOKEN_LABEL_ENCODED = 2
         word_of = {i: f"w{i}" for i in range(1, 17)}
 
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=5, drop_rate=0.0)
     cap = build_captioner("adaptiveattention", cfg, 16)
     params = cap.init_params(jax.random.PRNGKey(0))
-    image = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    image = rng.normal(size=(8, 8, 3)).astype(np.float32)
     tokens = np.array([5, 7, 9, 2, 0], np.int32)  # 3 words then EOS
 
     mesh = make_mesh(8)
@@ -398,11 +398,11 @@ def test_word_sharded_analyze_gridtd(rng):
         EOS_TOKEN_LABEL_ENCODED = 2
         word_of = {i: f"w{i}" for i in range(1, 17)}
 
-    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=5, drop_rate=0.0)
+    cfg = FlickrConfig(embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+                       img_feature_length=16, img_feature_dim=128, sentence_length=5, drop_rate=0.0)
     cap = build_captioner("gridTD", cfg, 16)
     params = cap.init_params(jax.random.PRNGKey(0))
-    image = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    image = rng.normal(size=(8, 8, 3)).astype(np.float32)
     tokens = np.array([5, 7, 9, 2, 0], np.int32)
 
     mesh = make_mesh(8)

@@ -1,6 +1,8 @@
 """Driver-level integration tests: rendering grids, process_beam_search over
-a provider, and the CLI on the synthetic dataset. Tiny VGG-compatible images
-(32x32 -> 2x2 grid) keep CPU runtime low."""
+a provider, and the CLI on the synthetic dataset. The encoder is truncated
+at layer_name="block2_conv1" (3 convs + 1 pool, 8x8 images -> 4x4x128 grid):
+these tests pin driver/serving mechanics, not CNN depth (full-depth numerics
+live in test_lrp_parity.py / test_analyzers.py)."""
 
 import os
 
@@ -9,11 +11,25 @@ import jax
 import pytest
 
 from lrp_imagecaptioning_tpu.config import FlickrConfig
+from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
 CFG = FlickrConfig(
-    embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
+    embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+    img_feature_length=16, img_feature_dim=128, image_size=(8, 8),
     sentence_length=5, drop_rate=0.0, batch_size=2,
 )
+
+
+_CAP_CACHE = {}
+
+
+def _cap(model_type="adaptiveattention"):
+    """Module-level memo of (captioner, params): init is pure eager dispatch
+    re-paid by every test otherwise. Params are immutable jax arrays."""
+    if model_type not in _CAP_CACHE:
+        cap = build_captioner(model_type, CFG, 16)
+        _CAP_CACHE[model_type] = (cap, cap.init_params(jax.random.PRNGKey(0)))
+    return _CAP_CACHE[model_type]
 
 
 class FakePP:
@@ -29,14 +45,13 @@ def test_render_explanation(tmp_path, rng):
     from lrp_imagecaptioning_tpu.explain.engine import Explainer
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     ex = Explainer(cap, params, FakePP(), method="lrp")
-    image = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    image = rng.normal(size=(8, 8, 3)).astype(np.float32)
     result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
-    raw = (rng.random((32, 32, 3)) * 255).astype(np.float32)
+    raw = (rng.random((8, 8, 3)) * 255).astype(np.float32)
     written = render_explanation(result, raw, str(tmp_path / "out"), "img.jpg",
-                                 method="lrp", grid=2, upscale=16)
+                                 method="lrp", grid=4, upscale=2)
     assert len(written) == 3
     for p in written:
         assert os.path.exists(p) and os.path.getsize(p) > 0
@@ -53,7 +68,10 @@ def test_evaluate_cli_on_synthetic(tmp_path, monkeypatch, rng):
 
     def small(args):
         cfg, ds = orig(args)
-        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5,
+                          drop_rate=0.0, layer_name="block2_conv1",
+                          img_feature_length=16, img_feature_dim=128,
+                          image_size=(8, 8))
         return cfg, ds
 
     monkeypatch.setattr(cli, "_build_dataset", small)
@@ -75,7 +93,10 @@ def test_profile_flag_writes_xprof_trace(tmp_path, monkeypatch, rng):
 
     def small(args):
         cfg, ds = orig(args)
-        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5,
+                          drop_rate=0.0, layer_name="block2_conv1",
+                          img_feature_length=16, img_feature_dim=128,
+                          image_size=(8, 8))
         return cfg, ds
 
     monkeypatch.setattr(cli, "_build_dataset", small)
@@ -95,13 +116,12 @@ def test_caption_service(rng):
     from lrp_imagecaptioning_tpu.infer.serving import CaptionService
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1).warmup()
     # ragged request (3 < batch 4) and oversized request (5 > 4)
-    out3 = svc.caption(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    out3 = svc.caption(rng.normal(size=(3, 8, 8, 3)).astype(np.float32))
     assert len(out3) == 3
-    out5 = svc.caption(rng.normal(size=(5, 32, 32, 3)).astype(np.float32))
+    out5 = svc.caption(rng.normal(size=(5, 8, 8, 3)).astype(np.float32))
     assert len(out5) == 5
     assert svc.stats["images"] == 8
     for c in out3 + out5:
@@ -117,9 +137,7 @@ def test_beam_search_inference_api(tmp_path, monkeypatch, rng):
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
     import jax as _jax
 
-    # synthetic images are 224x224 -> the standard 14x14 VGG grid
-    cfg = CFG.replace(rare_words_handling="nothing",
-                      img_feature_length=196, img_feature_dim=512)
+    cfg = CFG.replace(rare_words_handling="nothing")
     ds = SyntheticDataset(cfg, n_train=4, n_val=2, n_test=2,
                           cache_dir=str(tmp_path / "imgs"))
     provider = DatasetProvider(ds, cfg)
@@ -139,13 +157,12 @@ def test_caption_service_explain_and_queue(rng):
     from lrp_imagecaptioning_tpu.explain.engine import Explanation
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1)
     svc.warmup(explain=True)
 
     # ragged explain request (3 < batch 4)
-    exps = svc.explain(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    exps = svc.explain(rng.normal(size=(3, 8, 8, 3)).astype(np.float32))
     assert len(exps) == 3
     for e in exps:
         assert isinstance(e, Explanation)
@@ -154,7 +171,7 @@ def test_caption_service_explain_and_queue(rng):
 
     # micro-batching queue: mixed caption + explain submissions coalesce
     svc.start_queue(linger_ms=50.0)
-    imgs = rng.normal(size=(5, 32, 32, 3)).astype(np.float32)
+    imgs = rng.normal(size=(5, 8, 8, 3)).astype(np.float32)
     futs = [svc.submit(imgs[i]) for i in range(4)]
     fut_e = svc.submit(imgs[4], explain=True)
     captions = [f.result(timeout=120) for f in futs]
@@ -166,6 +183,27 @@ def test_caption_service_explain_and_queue(rng):
     assert captions[0] == direct
 
 
+def test_caption_service_split_buckets_matches(rng):
+    """CaptionService(split_buckets=True) — the per-bucket ladder latency
+    mode — returns the same explanations as the default batch-max dispatch."""
+    from lrp_imagecaptioning_tpu.infer.serving import CaptionService
+    from lrp_imagecaptioning_tpu.models.captioner import build_captioner
+
+    cap, params = _cap("adaptiveattention")
+    imgs = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    base = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1)
+    split = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1,
+                           split_buckets=True)
+    # no warmup: programs compile on demand (the no-recompile-after-warmup
+    # contract is pinned by test_explain_engine's warmup test)
+    a = base.explain(imgs)
+    b = split.explain(imgs)
+    assert [e.words for e in a] == [e.words for e in b]
+    for ea, eb in zip(a, b):
+        np.testing.assert_allclose(ea.relevance_maps, eb.relevance_maps,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_queue_groups_explain_by_method(rng):
     """The micro-batcher must NOT coalesce explain requests with different
     analyzer methods into one dispatch (a ?method=gradient request answered
@@ -174,8 +212,7 @@ def test_queue_groups_explain_by_method(rng):
     from lrp_imagecaptioning_tpu.infer.serving import CaptionService
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1)
 
     calls = []
@@ -245,8 +282,7 @@ def test_caption_http_server(rng):
     from lrp_imagecaptioning_tpu.infer import CaptionHTTPServer, CaptionService
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     svc = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1)
     svc.warmup(explain=True)
     srv = CaptionHTTPServer(svc, port=0).start()
@@ -255,7 +291,7 @@ def test_caption_http_server(rng):
         with urllib.request.urlopen(f"{base}/healthz") as r:
             assert json.load(r)["ok"] is True
 
-        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        imgs = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
         # JSON body
         req = urllib.request.Request(
             f"{base}/caption", data=json.dumps({"images": imgs.tolist()}).encode(),
@@ -278,7 +314,7 @@ def test_caption_http_server(rng):
             z = np.load(io.BytesIO(r.read()), allow_pickle=False)
         # Explanation captions keep the EOS word (reference style)
         assert str(z["caption_0"]) == f"{caps_json[0]} {FakePP.EOS_TOKEN}"
-        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert z["relevance_maps_0"].shape[1:] == (8, 8, 3)
         assert np.isfinite(z["relevance_maps_0"]).all()
 
         with urllib.request.urlopen(f"{base}/stats") as r:
@@ -293,7 +329,7 @@ def test_caption_http_server(rng):
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
-        # wrong resolution -> 400 (the service programs are compiled at 32)
+        # wrong resolution -> 400 (the service programs are compiled at 8)
         wrong = rng.normal(size=(1, 48, 48, 3)).astype(np.float32)
         req = urllib.request.Request(
             f"{base}/caption", data=json.dumps({"images": wrong.tolist()}).encode(),
@@ -335,7 +371,10 @@ def test_cli_serve_smoke(tmp_path, monkeypatch, rng):
 
     def small(args):
         cfg, ds = orig(args)
-        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5,
+                          drop_rate=0.0, layer_name="block2_conv1",
+                          img_feature_length=16, img_feature_dim=128,
+                          image_size=(8, 8))
         return cfg, ds
 
     monkeypatch.setattr(cli, "_build_dataset", small)
@@ -352,7 +391,7 @@ def test_cli_serve_smoke(tmp_path, monkeypatch, rng):
                         break
             except Exception:
                 time.sleep(1)
-        imgs = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+        imgs = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
         req = urllib.request.Request(
             f"{base}/caption", data=json.dumps({"images": imgs.tolist()}).encode(),
             headers={"Content-Type": "application/json"})
@@ -387,6 +426,8 @@ def test_expected_hw_derivation():
 
     def hw(**kw):
         svc = CaptionService.__new__(CaptionService)  # property only needs cfg
+        kw.setdefault("image_size", None)  # module CFG pins one; derive here
+        kw.setdefault("layer_name", "block5_conv3")
 
         class Cap:
             cfg = CFG.replace(**kw)
@@ -397,7 +438,7 @@ def test_expected_hw_derivation():
     assert hw(img_feature_length=196) == (224, 224)                      # vgg16
     assert hw(img_encoder="resnet50", img_feature_length=49) == (224, 224)
     assert hw(img_encoder="inception_v3", img_feature_length=64) == (299, 299)
-    assert hw(img_feature_length=4) == (32, 32)                          # tiny test cfg
+    assert hw(img_feature_length=4) == (32, 32)                          # 2x2 grid, stride 16
     assert hw(img_encoder="inception_v3", image_size=(75, 75),
               img_feature_length=1) == (75, 75)                          # override wins
 
@@ -408,10 +449,9 @@ def test_service_latency_stats_are_smoothed(rng):
     from lrp_imagecaptioning_tpu.infer.serving import CaptionService
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     svc = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1)
-    imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    imgs = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
     svc.caption(imgs)
     first = svc.stats["latency_ema_s"]
     assert first == svc.stats["last_latency_s"] > 0
@@ -427,11 +467,10 @@ def test_stop_queue_serves_already_submitted(rng):
     from lrp_imagecaptioning_tpu.infer.serving import CaptionService
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     svc = CaptionService(cap, params, FakePP(), batch_size=4, beam_size=1)
     svc.start_queue(linger_ms=200.0)
-    imgs = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    imgs = rng.normal(size=(3, 8, 8, 3)).astype(np.float32)
     futs = svc.submit_many(imgs)
     svc.stop_queue()  # drain must resolve every already-queued future
     for f in futs:
@@ -453,8 +492,7 @@ def test_caption_grpc_server(rng):
         CaptionGrpcClient, CaptionGrpcServer, CaptionService)
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cap = build_captioner("adaptiveattention", CFG, 16)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    cap, params = _cap("adaptiveattention")
     svc = CaptionService(cap, params, FakePP(), batch_size=2, beam_size=1)
     svc.warmup(explain=True)
     srv = CaptionGrpcServer(svc, port=0).start()
@@ -462,7 +500,7 @@ def test_caption_grpc_server(rng):
     try:
         assert client.health() is True
 
-        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        imgs = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
         caps_npy = client.caption(imgs)
         assert len(caps_npy) == 2 and all(isinstance(c, str) for c in caps_npy)
 
@@ -474,7 +512,7 @@ def test_caption_grpc_server(rng):
         # explain: npz payload layout matches the HTTP front-end's
         z = client.explain(imgs[:1], method="lrp")
         assert str(z["caption_0"]) == f"{caps_npy[0]} {FakePP.EOS_TOKEN}"
-        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert z["relevance_maps_0"].shape[1:] == (8, 8, 3)
         assert np.isfinite(z["relevance_maps_0"]).all()
 
         assert client.stats()["images"] >= 5
@@ -538,7 +576,10 @@ def test_cli_serve_grpc_smoke(tmp_path, monkeypatch, rng):
 
     def small(args):
         cfg, ds = orig(args)
-        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5, drop_rate=0.0)
+        cfg = cfg.replace(embedding_dim=16, hidden_dim=16, sentence_length=5,
+                          drop_rate=0.0, layer_name="block2_conv1",
+                          img_feature_length=16, img_feature_dim=128,
+                          image_size=(8, 8))
         return cfg, ds
 
     monkeypatch.setattr(cli, "_build_dataset", small)
@@ -553,7 +594,7 @@ def test_cli_serve_grpc_smoke(tmp_path, monkeypatch, rng):
                     break
             except Exception:
                 time.sleep(1)
-        imgs = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+        imgs = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
         result["captions"] = cl.caption(imgs)
         cl.close()
 
@@ -580,8 +621,7 @@ def test_collect_word_stats_batched(tmp_path, monkeypatch, rng):
     from lrp_imagecaptioning_tpu.explain.engine import Explainer
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cfg = CFG.replace(rare_words_handling="nothing", image_size=(64, 64),
-                      img_feature_length=16, batch_size=2)
+    cfg = CFG.replace(rare_words_handling="nothing", batch_size=2)
     ds = SyntheticDataset(cfg, n_train=4, n_val=2, n_test=4,
                           cache_dir=str(tmp_path / "imgs"))
     provider = DatasetProvider(ds, cfg)

@@ -15,8 +15,9 @@ from lrp_imagecaptioning_tpu.infer.export import ExportedCaptioner, export_servi
 from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
 CFG = FlickrConfig(
-    embedding_dim=16, hidden_dim=16, img_feature_length=4, img_feature_dim=512,
-    sentence_length=5, drop_rate=0.0, image_size=(32, 32),
+    embedding_dim=16, hidden_dim=16, layer_name="block2_conv1",
+    img_feature_length=16, img_feature_dim=128, image_size=(8, 8),
+    sentence_length=5, drop_rate=0.0,
 )
 VOCAB = 16
 
@@ -45,7 +46,7 @@ def test_exported_caption_matches_live(artifact, rng):
     out, cap, params = artifact
     from lrp_imagecaptioning_tpu.infer.serving import CaptionService
 
-    images = rng.normal(size=(5, 32, 32, 3)).astype(np.float32)
+    images = rng.normal(size=(5, 8, 8, 3)).astype(np.float32)
     exported = ExportedCaptioner(out)
     live = CaptionService(cap, params, PP(), batch_size=3, beam_size=2)
     # 5 images through the batch-3 artifact: chunked 3 + padded 2
@@ -54,7 +55,7 @@ def test_exported_caption_matches_live(artifact, rng):
 
 def test_exported_explain_matches_live(artifact, rng):
     out, cap, params = artifact
-    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    images = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
     exported = ExportedCaptioner(out)
     ex = Explainer(cap, params, PP(), method="lrp", beam_size=2,
                    word_buckets=(2,))
@@ -91,19 +92,19 @@ def test_exported_service_dispatch(artifact, rng):
 
     out, _, _ = artifact
     svc = ExportedService(out, warmup=False)
-    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    images = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
     caps = svc.dispatch(images)
     assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
     exps = svc.dispatch(images, explain=True, method="lrp")
     assert exps[0].caption.endswith("zeros")
-    assert exps[0].relevance_maps.shape[1:] == (32, 32, 3)
+    assert exps[0].relevance_maps.shape[1:] == (8, 8, 3)
     assert svc.stats["requests"] == 2 and svc.stats["images"] == 4
     # method=None (a front-end default) serves the artifact's own method
     # instead of 500ing on a hard-coded 'lrp'
     exps_default = svc.dispatch(images, explain=True)
     assert exps_default[0].caption == exps[0].caption
     # front-ends validate request resolutions against the traced shape
-    assert svc.expected_hw == (32, 32)
+    assert svc.expected_hw == (8, 8)
     with pytest.raises(ValueError):
         svc.dispatch(images, explain=True, method="gradient")
 
@@ -149,7 +150,7 @@ def test_http_front_end_over_exported_service(artifact, rng):
     srv = CaptionHTTPServer(svc, port=0).start()
     base = f"http://127.0.0.1:{srv.port}"
     try:
-        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        imgs = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
         req = urllib.request.Request(
             f"{base}/caption", data=json.dumps({"images": imgs.tolist()}).encode(),
             headers={"Content-Type": "application/json"})
@@ -165,7 +166,7 @@ def test_http_front_end_over_exported_service(artifact, rng):
             assert r.headers["Content-Type"] == "application/x-npz"
             z = np.load(io.BytesIO(r.read()), allow_pickle=False)
         assert str(z["caption_0"]).endswith("zeros")
-        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert z["relevance_maps_0"].shape[1:] == (8, 8, 3)
         assert np.isfinite(z["relevance_maps_0"]).all()
     finally:
         srv.stop()
@@ -184,12 +185,12 @@ def test_grpc_front_end_over_exported_service(artifact, rng):
     try:
         client = CaptionGrpcClient(f"127.0.0.1:{srv.port}")
         assert client.health() is True
-        imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+        imgs = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
         caps = client.caption(imgs)
         assert caps == ExportedCaptioner(out).caption(imgs)
         z = client.explain(imgs, "lrp")
         assert str(z["caption_0"]).endswith("zeros")
-        assert z["relevance_maps_0"].shape[1:] == (32, 32, 3)
+        assert z["relevance_maps_0"].shape[1:] == (8, 8, 3)
         assert np.isfinite(np.asarray(z["relevance_maps_0"], np.float32)).all()
     finally:
         srv.stop()

@@ -25,6 +25,7 @@ def test_mixed10_shape_299(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_inception_captioner_decode(rng):
     from lrp_imagecaptioning_tpu.infer.greedy import greedy_decode
 
@@ -56,9 +57,9 @@ def test_inception_preprocess_and_image_preprocessor(tmp_path, rng):
     assert out.min() >= -1.0 and out.max() <= 1.0
 
 
-def test_h5_numbered_import_roundtrip(tmp_path):
+def test_h5_numbered_import_roundtrip(tmp_path, inception_v3_params):
     h5py = pytest.importorskip("h5py")
-    params = inception.init_inception_v3_params(jax.random.PRNGKey(1))
+    params = inception_v3_params
     p = str(tmp_path / "iv3.h5")
     with h5py.File(p, "w") as f:
         mw = f.create_group("model_weights")
@@ -78,12 +79,12 @@ def test_h5_numbered_import_roundtrip(tmp_path):
 
 
 @pytest.mark.slow
-def test_inception_lrp_end_to_end(rng):
+def test_inception_lrp_end_to_end(rng, inception_v3_params):
     """Rule-based LRP through the whole inception stack: shape, finiteness,
     nonzero input relevance, and conservation through a concat split."""
     from lrp_imagecaptioning_tpu.explain.inception_lrp import inception_lrp_preset_a
 
-    params = inception.init_inception_v3_params(jax.random.PRNGKey(0))
+    params = inception_v3_params
     img = jnp.asarray(rng.normal(size=(1, 299, 299, 3)).astype(np.float32))
     seed = jnp.asarray(rng.normal(size=(1, 8, 8, 2048)).astype(np.float32))
     rel = inception_lrp_preset_a(params, img, seed)
@@ -92,7 +93,7 @@ def test_inception_lrp_end_to_end(rng):
     assert np.abs(np.asarray(rel)).sum() > 0
 
 
-def test_inception_lrp_via_engine(rng):
+def test_inception_lrp_via_engine(rng, inception_v3_params):
     from lrp_imagecaptioning_tpu.explain.engine import Explainer
 
     class PP:
@@ -108,7 +109,8 @@ def test_inception_lrp_via_engine(rng):
         embedding_dim=16, hidden_dim=16, sentence_length=3, drop_rate=0.0,
     )
     cap = build_captioner("adaptiveattention", cfg, 12)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    params = cap.init_params(jax.random.PRNGKey(0),
+                             encoder_params=inception_v3_params)
     ex = Explainer(cap, params, PP(), method="lrp", beam_size=2)
     img = jnp.asarray(rng.normal(size=(299, 299, 3)).astype(np.float32))
     result = ex.analyze(img, tokens_1based=np.array([5, 2, 0], np.int32))
@@ -117,7 +119,7 @@ def test_inception_lrp_via_engine(rng):
 
 
 @pytest.mark.slow
-def test_inception_deep_taylor_and_deeplift_via_engine(rng):
+def test_inception_deep_taylor_and_deeplift_via_engine(rng, inception_v3_params):
     """Relevance-family dispatch on the inception encoder; DeepTaylor maps
     are nonnegative (relu-clamped seed, WSquare/mask/WTA walk)."""
     from lrp_imagecaptioning_tpu.explain.engine import Explainer
@@ -135,7 +137,8 @@ def test_inception_deep_taylor_and_deeplift_via_engine(rng):
         embedding_dim=16, hidden_dim=16, sentence_length=3, drop_rate=0.0,
     )
     cap = build_captioner("adaptiveattention", cfg, 12)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    params = cap.init_params(jax.random.PRNGKey(0),
+                             encoder_params=inception_v3_params)
     img = jnp.asarray(rng.normal(size=(299, 299, 3)).astype(np.float32))
     toks = np.array([5, 2, 0], np.int32)
     for method in ("deep_taylor", "deep_lift"):

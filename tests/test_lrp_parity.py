@@ -206,13 +206,14 @@ def test_lrp_linear_in_seed(rng):
         EOS_TOKEN_LABEL_ENCODED = 2
         word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
 
-    cfg = CFG.replace(img_feature_length=4, img_feature_dim=512, sentence_length=4,
+    cfg = CFG.replace(layer_name="block2_conv1", img_feature_length=16,
+                      img_feature_dim=128, sentence_length=4,
                       embedding_dim=16, hidden_dim=16)  # AOA needs H % 8 == 0
     for model_type in ("adaptiveattention", "gridTD", "aoa"):
         cap = build_captioner(model_type, cfg, VOCAB)
         params = jax.tree.map(lambda x: x, cap.init_params(jax.random.PRNGKey(0)))
         ex = Explainer(cap, params, PP(), method="lrp", beam_size=2)
-        image = jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+        image = jnp.asarray(rng.normal(size=(8, 8, 3)).astype(np.float32))
         tokens = np.array([5, 7, 2, 0], np.int32)
         base = ex.analyze(image, tokens_1based=tokens)
         # scale the output layer: logits scale, seeds (logit-valued) scale,

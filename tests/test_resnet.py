@@ -18,18 +18,8 @@ RESNET_CFG = FlickrConfig(
 VOCAB = 16
 
 
-def test_resnet50_output_shape(rng):
-    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
-    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
-    out = resnet.resnet50_apply(params, x)
-    assert out.shape == (1, 2, 2, 2048)  # 64 / 32 total stride
-    assert np.isfinite(np.asarray(out)).all()
-    # relu output: non-negative
-    assert float(out.min()) >= 0.0
-
-
-def test_resnet50_param_names_match_keras_convention():
-    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+def test_resnet50_param_names_match_keras_convention(resnet50_params):
+    params = resnet50_params
     assert "conv1" in params and "bn_conv1" in params
     assert "res2a_branch1" in params and "bn2a_branch2c" in params
     assert "res5c_branch2c" in params
@@ -39,7 +29,7 @@ def test_resnet50_param_names_match_keras_convention():
     assert n_convs == 1 + (3 * 3 + 1) + (4 * 3 + 1) + (6 * 3 + 1) + (3 * 3 + 1)
 
 
-def test_resnet_captioner_decode_and_gradient_explain(rng):
+def test_resnet_captioner_decode_and_gradient_explain(rng, resnet50_params):
     from lrp_imagecaptioning_tpu.explain.engine import Explainer
 
     class PP:
@@ -50,7 +40,7 @@ def test_resnet_captioner_decode_and_gradient_explain(rng):
         word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
 
     cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    params = cap.init_params(jax.random.PRNGKey(0), encoder_params=resnet50_params)
     image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
     ex = Explainer(cap, params, PP(), method="gradient", beam_size=2)
     result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
@@ -58,14 +48,30 @@ def test_resnet_captioner_decode_and_gradient_explain(rng):
     assert np.isfinite(result.relevance_maps).all()
     assert np.abs(result.relevance_maps).sum() > 0
 
-    # guided-gradcam also works generically (guided relu + CAM resize)
+
+@pytest.mark.slow
+def test_resnet_guided_gradcam(rng, resnet50_params):
+    """guided-gradcam on a resnet encoder (guided relu + CAM resize)."""
+    from lrp_imagecaptioning_tpu.explain.engine import Explainer
+
+    class PP:
+        SOS_TOKEN = "szeros"
+        EOS_TOKEN = "zeros"
+        SOS_TOKEN_LABEL_ENCODED = 1
+        EOS_TOKEN_LABEL_ENCODED = 2
+        word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
+
+    cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
+    params = cap.init_params(jax.random.PRNGKey(0), encoder_params=resnet50_params)
+    image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
     ex_ggc = Explainer(cap, params, PP(), method="guided_gradcam", beam_size=2)
     r2 = ex_ggc.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
     assert r2.relevance_maps.shape == (2, 64, 64, 3)
     assert np.isfinite(r2.relevance_maps).all()
 
 
-def test_resnet_augmentation_methods(rng):
+@pytest.mark.slow
+def test_resnet_augmentation_methods(rng, resnet50_params):
     """IG / SmoothGrad on a non-VGG encoder use the generic VJP path;
     SmoothGrad at zero noise must equal the plain gradient maps."""
     from lrp_imagecaptioning_tpu.explain.engine import Explainer
@@ -78,7 +84,7 @@ def test_resnet_augmentation_methods(rng):
         word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
 
     cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    params = cap.init_params(jax.random.PRNGKey(0), encoder_params=resnet50_params)
     image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
     toks = np.array([5, 7, 2, 0, 0], np.int32)
 
@@ -101,7 +107,8 @@ def test_resnet_augmentation_methods(rng):
         r_sg.relevance_maps, r_g.relevance_maps, rtol=1e-3, atol=1e-5)
 
 
-def test_resnet_deep_taylor_and_deeplift(rng):
+@pytest.mark.slow
+def test_resnet_deep_taylor_and_deeplift(rng, resnet50_params):
     """Engine dispatch of the relevance-family methods on a resnet encoder.
     DeepTaylor maps must be nonnegative (relu-clamped seed through WSquare /
     masks / WTA only ever redistributes nonnegative relevance)."""
@@ -115,7 +122,7 @@ def test_resnet_deep_taylor_and_deeplift(rng):
         word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
 
     cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    params = cap.init_params(jax.random.PRNGKey(0), encoder_params=resnet50_params)
     image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
     toks = np.array([5, 7, 2, 0, 0], np.int32)
     for method in ("deep_taylor", "deep_lift"):
@@ -129,14 +136,14 @@ def test_resnet_deep_taylor_and_deeplift(rng):
 
 
 @pytest.mark.slow
-def test_resnet_deeplift_at_own_reference_equals_gradient(rng):
+def test_resnet_deeplift_at_own_reference_equals_gradient(rng, resnet50_params):
     """With reference_inputs = the image itself every Δ is zero, so the
     approximate-gradient fallbacks fire everywhere and the DeepLIFT walk
     degenerates to the plain VJP of the encoder."""
     from lrp_imagecaptioning_tpu.explain.resnet_lrp import resnet_deeplift_wordbatched
     from lrp_imagecaptioning_tpu.models.resnet import resnet50_apply
 
-    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    params = resnet50_params
     image = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
     seeds = jnp.asarray(rng.normal(size=(2, 2, 2, 2048)).astype(np.float32))
 
@@ -149,10 +156,10 @@ def test_resnet_deeplift_at_own_reference_equals_gradient(rng):
     np.testing.assert_allclose(np.asarray(dl), np.asarray(grad), rtol=1e-3, atol=2e-3)
 
 
-def test_resnet_h5_roundtrip(tmp_path):
+def test_resnet_h5_roundtrip(tmp_path, resnet50_params):
     """Write params in a Keras-like H5 layout, re-import, compare."""
     h5py = pytest.importorskip("h5py")
-    params = resnet.init_resnet50_params(jax.random.PRNGKey(1))
+    params = resnet50_params
     p = str(tmp_path / "rn.h5")
     with h5py.File(p, "w") as f:
         mw = f.create_group("model_weights")
@@ -172,8 +179,8 @@ def test_resnet_h5_roundtrip(tmp_path):
     )
 
 
-def test_resnet101_topology(rng):
-    params = resnet.init_resnet50_params(jax.random.PRNGKey(0), depth="resnet101")
+def test_resnet101_topology(rng, resnet101_params):
+    params = resnet101_params
     assert "res4b22_branch2c" in params  # 23-block stage, caffe naming
     x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
     out = resnet.resnet50_apply(params, x, depth="resnet101")
@@ -204,13 +211,19 @@ def test_resnet_bn_add_lrp_rules(rng):
     np.testing.assert_allclose(np.asarray(ra + rb), 1.0, rtol=1e-4)
 
 
-def test_resnet_lrp_end_to_end(rng):
+def test_resnet_lrp_end_to_end(rng, resnet50_params):
     """Full rule-based LRP through a resnet50 on small inputs: shapes,
     finiteness, and nonzero relevance reaching the input."""
     from lrp_imagecaptioning_tpu.explain.resnet_lrp import resnet_lrp_preset_a
 
-    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    params = resnet50_params
     img = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    # forward shape/sign contract (folded from the old standalone
+    # test_resnet50_output_shape — one compile instead of two)
+    out = resnet.resnet50_apply(params, img)
+    assert out.shape == (1, 2, 2, 2048)  # 64 / 32 total stride
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(out.min()) >= 0.0  # relu output
     seed = jnp.asarray(rng.normal(size=(1, 2, 2, 2048)).astype(np.float32))
     rel = resnet_lrp_preset_a(params, img, seed)
     assert rel.shape == (1, 64, 64, 3)
@@ -218,7 +231,7 @@ def test_resnet_lrp_end_to_end(rng):
     assert np.abs(np.asarray(rel)).sum() > 0
 
 
-def test_resnet_lrp_via_engine(rng):
+def test_resnet_lrp_via_engine(rng, resnet50_params):
     from lrp_imagecaptioning_tpu.explain.engine import Explainer
 
     class PP:
@@ -229,7 +242,7 @@ def test_resnet_lrp_via_engine(rng):
         word_of = {i: f"w{i}" for i in range(1, VOCAB + 1)}
 
     cap = build_captioner("adaptiveattention", RESNET_CFG, VOCAB)
-    params = cap.init_params(jax.random.PRNGKey(0))
+    params = cap.init_params(jax.random.PRNGKey(0), encoder_params=resnet50_params)
     ex = Explainer(cap, params, PP(), method="lrp", beam_size=2)
     image = jnp.asarray(rng.normal(size=(64, 64, 3)).astype(np.float32))
     result = ex.analyze(image, tokens_1based=np.array([5, 7, 2, 0, 0], np.int32))
@@ -237,12 +250,13 @@ def test_resnet_lrp_via_engine(rng):
     assert np.isfinite(result.relevance_maps).all()
 
 
-def test_resnet_deeplift_linear_in_seed(rng):
+@pytest.mark.slow
+def test_resnet_deeplift_linear_in_seed(rng, resnet50_params):
     """Every DeepLIFT rule (Linear, Rescale, gradient) is linear in the
     incoming relevance, so the whole walk must be too."""
     from lrp_imagecaptioning_tpu.explain.resnet_lrp import resnet_deeplift_wordbatched
 
-    params = resnet.init_resnet50_params(jax.random.PRNGKey(0))
+    params = resnet50_params
     image = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
     s1, s2 = (jnp.asarray(rng.normal(size=(1, 2, 2, 2048)).astype(np.float32))
               for _ in range(2))

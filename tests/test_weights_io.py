@@ -59,20 +59,31 @@ def test_adaptive_decoder_import(tmp_path):
     assert params["image_features"]["kernel"].shape == (D, H)
 
 
-def _tiny_params(model_type, img_encoder="vgg16"):
+_TINY_CACHE = {}
+
+
+def _tiny_params(model_type, img_encoder="vgg16", encoder_params=None):
+    """Module-level memo: captioner param init is the dominant test cost
+    (encoder init is hundreds of eager random ops); identical configs share
+    one tree. ``encoder_params`` lets callers thread the session-scoped
+    resnet/inception fixtures through."""
     import jax
 
     from lrp_imagecaptioning_tpu.config import FlickrConfig
     from lrp_imagecaptioning_tpu.models.captioner import build_captioner
 
-    cfg = FlickrConfig(embedding_dim=8, hidden_dim=8, img_feature_length=4,
-                       img_feature_dim=512, sentence_length=5,
-                       img_encoder=img_encoder)
-    cap = build_captioner(model_type, cfg, 16)
-    return cap.init_params(jax.random.PRNGKey(0)), cfg
+    key = (model_type, img_encoder)
+    if key not in _TINY_CACHE:
+        cfg = FlickrConfig(embedding_dim=8, hidden_dim=8, img_feature_length=4,
+                           img_feature_dim=512, sentence_length=5,
+                           img_encoder=img_encoder)
+        cap = build_captioner(model_type, cfg, 16)
+        _TINY_CACHE[key] = (cap.init_params(jax.random.PRNGKey(0),
+                                            encoder_params=encoder_params), cfg)
+    return _TINY_CACHE[key]
 
 
-def _assert_roundtrip(tmp_path, model_type, img_encoder):
+def _assert_roundtrip(tmp_path, model_type, img_encoder, encoder_params=None):
     import jax
 
     from lrp_imagecaptioning_tpu.models.weights_io import (
@@ -80,7 +91,7 @@ def _assert_roundtrip(tmp_path, model_type, img_encoder):
         save_reference_checkpoint_h5,
     )
 
-    params, cfg = _tiny_params(model_type, img_encoder)
+    params, cfg = _tiny_params(model_type, img_encoder, encoder_params)
     p = str(tmp_path / f"{model_type}_{img_encoder}.h5")
     save_reference_checkpoint_h5(p, params, model_type, arch=img_encoder,
                                  until=cfg.layer_name)
@@ -103,13 +114,26 @@ def test_keras_export_import_roundtrip(tmp_path, model_type):
     _assert_roundtrip(tmp_path, model_type, "vgg16")
 
 
-@pytest.mark.parametrize("img_encoder",
-                         ["vgg19", "resnet50", "resnet101", "inception_v3"])
-def test_keras_export_import_roundtrip_all_encoders(tmp_path, img_encoder):
+@pytest.mark.parametrize("img_encoder", ["vgg19", "resnet50"])
+def test_keras_export_import_roundtrip_all_encoders(tmp_path, img_encoder,
+                                                    request):
     """Encoder export covers the non-default encoders too (VERDICT r2 item 5):
     export -> import is bit-exact for resnet50/101 + inception_v3 + vgg19
-    (the decoder path is shared; one decoder suffices here)."""
-    _assert_roundtrip(tmp_path, "adaptiveattention", img_encoder)
+    (the decoder path is shared; one decoder suffices here). resnet101 and
+    inception_v3 — the two slowest inits — run in the slow tier below."""
+    enc = (request.getfixturevalue("resnet50_params")
+           if img_encoder == "resnet50" else None)
+    _assert_roundtrip(tmp_path, "adaptiveattention", img_encoder, enc)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("img_encoder", ["resnet101", "inception_v3"])
+def test_keras_export_import_roundtrip_heavy_encoders(tmp_path, img_encoder,
+                                                      request):
+    fixture = ("resnet101_params" if img_encoder == "resnet101"
+               else "inception_v3_params")
+    _assert_roundtrip(tmp_path, "adaptiveattention", img_encoder,
+                      request.getfixturevalue(fixture))
 
 
 def test_keras_export_h5_structure(tmp_path):
