@@ -323,7 +323,6 @@ def cmd_serve(args):
         for flag, val, default in (
             ("--batch-size", args.batch_size, None),
             ("--beam-size", args.beam_size, 3),
-            ("--mesh", getattr(args, "mesh", 0), 0),
             ("--shard-words", getattr(args, "shard_words", False), False),
             ("--split-buckets", getattr(args, "split_buckets", False), False),
         ):
@@ -331,10 +330,15 @@ def cmd_serve(args):
                 print(f"warning: {flag} is fixed at export time; ignoring "
                       f"(artifact: batch {meta['batch_size']}, "
                       f"beam {meta['beam_size']})", flush=True)
+        # --mesh N composes with --exported: N params replicas, request
+        # chunks round-robined over the first N devices (data-parallel;
+        # the 1-device artifact itself is never repartitioned)
+        devices = args.mesh if getattr(args, "mesh", 0) > 1 else None
         print(f"loading exported artifact {args.exported}...", flush=True)
-        svc = ExportedService(args.exported)
+        svc = ExportedService(args.exported, devices=devices)
         print(f"warmed in {svc.stats.get('warmup_s')}s "
-              f"(batch {svc.meta['batch_size']}, beam {svc.meta['beam_size']})",
+              f"(batch {svc.meta['batch_size']}, beam {svc.meta['beam_size']}, "
+              f"devices {svc.stats['devices']})",
               flush=True)
     else:
         from .data.provider import DatasetProvider

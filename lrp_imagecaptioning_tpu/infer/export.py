@@ -114,9 +114,21 @@ class ExportedCaptioner:
 
     ``caption(images)`` / ``explain(images)`` mirror ``CaptionService``
     semantics (requests chunked/padded to the exported batch size).
+
+    ``devices``: a list of jax devices (or an int: the first N of
+    ``jax.devices()``) for DATA-PARALLEL multi-chip serving from the same
+    single-device artifact. ``jax.export`` pins a 1-device calling
+    convention, so the artifact cannot be repartitioned by GSPMD — but an
+    exported program executes on whichever device its committed inputs
+    live on, so the facade keeps a params replica per device and
+    round-robins request chunks, launching all chunks asynchronously
+    before collecting (each chip decodes/explains its chunks while the
+    others run theirs). Throughput scales with the device count; per-chunk
+    latency is that of the single-device program.
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, devices=None):
+        import jax
         from jax import export as jex
 
         from ..train.checkpoint import load_params_npz
@@ -132,8 +144,38 @@ class ExportedCaptioner:
             with open(os.path.join(out_dir, f"explain_w{w}.jexport"), "rb") as f:
                 self._explain[w] = jex.deserialize(f.read())
         self._B = self.meta["batch_size"]
+        if isinstance(devices, int):
+            avail = jax.devices()
+            if devices > len(avail):
+                raise ValueError(
+                    f"devices={devices} but only {len(avail)} available")
+            devices = avail[:devices]
+        self._devs = list(devices) if devices else None
+        if self._devs:
+            # one committed params replica per device; inputs follow
+            self._params_dev = [jax.device_put(self.params, d)
+                                for d in self._devs]
 
     # -- helpers -------------------------------------------------------------
+
+    def _slot(self, chunk_index: int):
+        """(params, device) for round-robin chunk placement."""
+        if not self._devs:
+            return self.params, None
+        k = chunk_index % len(self._devs)
+        return self._params_dev[k], self._devs[k]
+
+    def _launch_decode(self, chunk, chunk_index: int):
+        """Dispatch one decode chunk (async); returns the device-resident
+        tokens array."""
+        import jax
+
+        params, dev = self._slot(chunk_index)
+        x = self._pad(np.asarray(chunk, np.float32))
+        if dev is not None:
+            x = jax.device_put(x, dev)
+        tokens, _ = self._decode.call(params, x)
+        return tokens
 
     def _pad(self, arr):
         n = arr.shape[0]
@@ -155,37 +197,61 @@ class ExportedCaptioner:
         return " ".join(self._word_of[int(tok)] for tok in row[:n])
 
     def _decode_chunk(self, chunk):
-        tokens, _ = self._decode.call(self.params, self._pad(np.asarray(chunk, np.float32)))
+        tokens = self._launch_decode(chunk, 0)
         return np.asarray(tokens)[: chunk.shape[0]]
 
     # -- public API ------------------------------------------------------
 
     def caption(self, images) -> list[str]:
         images = np.asarray(images, np.float32)
+        chunks = [images[i:i + self._B]
+                  for i in range(0, images.shape[0], self._B)]
+        # launch ALL chunks before collecting any: with multiple devices the
+        # round-robin keeps every chip busy; single-device this is the same
+        # serial dispatch as before (jax dispatch is async either way)
+        pending = [(c, self._launch_decode(c, j)) for j, c in enumerate(chunks)]
         out = []
-        for i in range(0, images.shape[0], self._B):
+        for chunk, tokens in pending:
             out += [self._tokens_to_string(r)
-                    for r in self._decode_chunk(images[i:i + self._B])]
+                    for r in np.asarray(tokens)[: chunk.shape[0]]]
         return out
 
     def explain(self, images):
         """-> list of dicts: caption, words, relevance_maps, attentions,
         word_relevances, betas (the Explanation fields, minus framework
         types). Buckets by the chunk's longest caption like analyze_batch."""
+        import jax
+
         if not self._explain:
             raise RuntimeError("artifact was exported without explain programs"
                                " (pass method= to export_serving)")
         images = np.asarray(images, np.float32)
-        out = []
-        for i in range(0, images.shape[0], self._B):
-            chunk = images[i:i + self._B]
-            toks = self._decode_chunk(chunk)
+        chunks = [images[i:i + self._B]
+                  for i in range(0, images.shape[0], self._B)]
+        # phase 1: all decodes in flight (round-robin over devices)
+        decodes = []
+        for j, chunk in enumerate(chunks):
+            params, dev = self._slot(j)
+            x = self._pad(chunk)
+            if dev is not None:
+                x = jax.device_put(x, dev)
+            tokens, _ = self._decode.call(params, x)
+            decodes.append((chunk, x, params, tokens))
+        # phase 2: as each decode lands, pick its bucket and launch the
+        # explain program on the SAME device (reusing the resident images)
+        launched = []
+        for chunk, x, params, tokens in decodes:
+            toks = np.asarray(tokens)[: chunk.shape[0]]
             n_max = max((self._n_explained(row) for row in toks), default=0)
             bucket = min((w for w in self._explain if w >= max(n_max, 1)),
                          default=self.meta["max_len"])
             toks_pad = self._pad(toks).astype(np.int32)
-            maps, r_feat, r_words, atts, betas = self._explain[bucket].call(
-                self.params, self._pad(chunk), toks_pad)
+            launched.append(
+                (chunk, toks,
+                 self._explain[bucket].call(params, x, toks_pad)))
+        out = []
+        # phase 3: collect in request order
+        for chunk, toks, (maps, r_feat, r_words, atts, betas) in launched:
             for b in range(chunk.shape[0]):
                 n = self._n_explained(toks[b])
                 words = [self._word_of[int(tok)] for tok in toks[b][:n]]
@@ -207,29 +273,42 @@ class ExportedService:
     """CaptionService-compatible facade over an export directory, so the
     HTTP/gRPC front-ends (which need ``dispatch``/``stats``) can serve from
     a StableHLO artifact with no model/config/tokenizer code in the serving
-    process (``cli serve --exported DIR``)."""
+    process (``cli serve --exported DIR``).
 
-    def __init__(self, out_dir: str, warmup: bool = True):
+    ``devices``: data-parallel multi-chip serving (see ExportedCaptioner);
+    ``cli serve --exported DIR --mesh N`` maps here."""
+
+    def __init__(self, out_dir: str, warmup: bool = True, devices=None):
         import time
 
-        self._ec = ExportedCaptioner(out_dir)
+        self._ec = ExportedCaptioner(out_dir, devices=devices)
         self.meta = self._ec.meta
         self.stats = {"requests": 0, "images": 0, "latency_ema_s": 0.0,
-                      "exported_artifact": os.path.abspath(out_dir)}
+                      "exported_artifact": os.path.abspath(out_dir),
+                      "devices": len(self._ec._devs) if self._ec._devs else 1}
         if warmup:
             size = self.meta["image_size"]
             dummy = np.zeros((self.meta["batch_size"], size[0], size[1], 3),
                              np.float32)
             t0 = time.time()
-            self._ec.caption(dummy)
-            # warm EVERY exported explain program (Explainer.warmup contract:
-            # no request pays compilation after warmup) — going through
-            # ExportedCaptioner.explain would only hit the one bucket the
-            # dummy captions land in
+            # warm EVERY exported program on EVERY serving device (each
+            # device has its own executable cache entry; Explainer.warmup
+            # contract: no request pays compilation after warmup) — going
+            # through ExportedCaptioner.explain would only hit the one
+            # bucket the dummy captions land in
             toks0 = np.zeros((self.meta["batch_size"], self.meta["max_len"]),
                              np.int32)
-            for prog in self._ec._explain.values():
-                prog.call(self._ec.params, dummy, toks0)
+            n_slots = len(self._ec._devs) if self._ec._devs else 1
+            for j in range(n_slots):
+                params, dev = self._ec._slot(j)
+                x = dummy
+                if dev is not None:
+                    import jax
+
+                    x = jax.device_put(dummy, dev)
+                self._ec._decode.call(params, x)
+                for prog in self._ec._explain.values():
+                    prog.call(params, x, toks0)
             self.stats["warmup_s"] = round(time.time() - t0, 3)
 
     @property

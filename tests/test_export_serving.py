@@ -126,8 +126,8 @@ def test_exported_service_warmup_covers_all_buckets(artifact, monkeypatch):
             called.append(self._w)
             return self._prog.call(*a)
 
-    def wrap_init(self, d, _real=ExportedCaptioner.__init__):
-        _real(self, d)
+    def wrap_init(self, d, devices=None, _real=ExportedCaptioner.__init__):
+        _real(self, d, devices=devices)
         self._explain = {w: Spy(p, w) for w, p in self._explain.items()}
 
     monkeypatch.setattr(ExportedCaptioner, "__init__", wrap_init)
@@ -213,3 +213,47 @@ def test_serve_cli_validates_exported_artifact(artifact, tmp_path):
     with pytest.raises(SystemExit, match="exported with method"):
         cli.main(["serve", "--exported", out, "--with-explain",
                   "--method", "gradient", "--dataset", "synthetic"])
+
+
+def test_exported_multidevice_matches_single(artifact, rng):
+    """devices=K data-parallel serving: round-robined chunks over K devices
+    must reproduce the single-device outputs exactly (same program, same
+    params replica, different chip), and the facade must actually place
+    work on distinct devices."""
+    out, _, _ = artifact
+    images = rng.normal(size=(8, 8, 8, 3)).astype(np.float32)  # 3 chunks @ B=3
+    single = ExportedCaptioner(out)
+    multi = ExportedCaptioner(out, devices=4)
+    assert [str(d) for d in multi._devs] == [str(d) for d in jax.devices()[:4]]
+    # params replicas are committed one-per-device
+    first_leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+    placed = {next(iter(first_leaf(p).devices())).id for p in multi._params_dev}
+    assert placed == {d.id for d in jax.devices()[:4]}
+
+    assert multi.caption(images) == single.caption(images)
+    got = multi.explain(images)
+    want = single.explain(images)
+    assert len(got) == len(want) == 8
+    for g, w in zip(got, want):
+        assert g["caption"] == w["caption"]
+        np.testing.assert_allclose(g["relevance_maps"], w["relevance_maps"],
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(g["word_relevances"], w["word_relevances"],
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_exported_service_multidevice(artifact, rng):
+    """ExportedService(devices=K): warmup touches every device's executable
+    cache and dispatch round-robins; stats report the serving width."""
+    from lrp_imagecaptioning_tpu.infer.export import ExportedService
+
+    out, _, _ = artifact
+    svc = ExportedService(out, warmup=True, devices=2)
+    assert svc.stats["devices"] == 2
+    images = rng.normal(size=(7, 8, 8, 3)).astype(np.float32)
+    caps = svc.dispatch(images)
+    assert len(caps) == 7
+    ref = ExportedService(out, warmup=False).dispatch(images)
+    assert caps == ref
+    with pytest.raises(ValueError):
+        ExportedService(out, warmup=False, devices=99)
