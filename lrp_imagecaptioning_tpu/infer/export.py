@@ -196,9 +196,11 @@ class ExportedCaptioner:
         n = self._n_explained(row)
         return " ".join(self._word_of[int(tok)] for tok in row[:n])
 
-    def _decode_chunk(self, chunk):
-        tokens = self._launch_decode(chunk, 0)
-        return np.asarray(tokens)[: chunk.shape[0]]
+    def _inflight_cap(self) -> int:
+        # bound in-flight chunks so device memory stays O(devices), not
+        # O(request size): two chunks per device keeps the pipeline full
+        # (one executing, one queued) without unbounded residency
+        return 2 * (len(self._devs) if self._devs else 1)
 
     # -- public API ------------------------------------------------------
 
@@ -206,14 +208,23 @@ class ExportedCaptioner:
         images = np.asarray(images, np.float32)
         chunks = [images[i:i + self._B]
                   for i in range(0, images.shape[0], self._B)]
-        # launch ALL chunks before collecting any: with multiple devices the
-        # round-robin keeps every chip busy; single-device this is the same
-        # serial dispatch as before (jax dispatch is async either way)
-        pending = [(c, self._launch_decode(c, j)) for j, c in enumerate(chunks)]
-        out = []
-        for chunk, tokens in pending:
-            out += [self._tokens_to_string(r)
-                    for r in np.asarray(tokens)[: chunk.shape[0]]]
+        cap = self._inflight_cap()
+        pending: list = []
+        out: list[str] = []
+
+        def collect(item):
+            chunk, tokens = item
+            out.extend(self._tokens_to_string(r)
+                       for r in np.asarray(tokens)[: chunk.shape[0]])
+
+        # sliding window: launch chunk j, collect chunk j-cap — keeps every
+        # device busy (round-robin) while only `cap` outputs stay resident
+        for j, c in enumerate(chunks):
+            pending.append((c, self._launch_decode(c, j)))
+            if len(pending) > cap:
+                collect(pending.pop(0))
+        for item in pending:
+            collect(item)
         return out
 
     def explain(self, images):
@@ -228,30 +239,22 @@ class ExportedCaptioner:
         images = np.asarray(images, np.float32)
         chunks = [images[i:i + self._B]
                   for i in range(0, images.shape[0], self._B)]
-        # phase 1: all decodes in flight (round-robin over devices)
-        decodes = []
-        for j, chunk in enumerate(chunks):
-            params, dev = self._slot(j)
-            x = self._pad(chunk)
-            if dev is not None:
-                x = jax.device_put(x, dev)
-            tokens, _ = self._decode.call(params, x)
-            decodes.append((chunk, x, params, tokens))
-        # phase 2: as each decode lands, pick its bucket and launch the
-        # explain program on the SAME device (reusing the resident images)
-        launched = []
-        for chunk, x, params, tokens in decodes:
+        cap = self._inflight_cap()
+        out: list[dict] = []
+
+        def launch_explain(item):
+            # fetching tokens lands the decode; pick the bucket and launch
+            # the explain program on the SAME device (images stay resident)
+            chunk, x, params, tokens = item
             toks = np.asarray(tokens)[: chunk.shape[0]]
             n_max = max((self._n_explained(row) for row in toks), default=0)
             bucket = min((w for w in self._explain if w >= max(n_max, 1)),
                          default=self.meta["max_len"])
             toks_pad = self._pad(toks).astype(np.int32)
-            launched.append(
-                (chunk, toks,
-                 self._explain[bucket].call(params, x, toks_pad)))
-        out = []
-        # phase 3: collect in request order
-        for chunk, toks, (maps, r_feat, r_words, atts, betas) in launched:
+            return chunk, toks, self._explain[bucket].call(params, x, toks_pad)
+
+        def collect(item):
+            chunk, toks, (maps, r_feat, r_words, atts, betas) = item
             for b in range(chunk.shape[0]):
                 n = self._n_explained(toks[b])
                 words = [self._word_of[int(tok)] for tok in toks[b][:n]]
@@ -266,6 +269,30 @@ class ExportedCaptioner:
                     "word_relevances": np.asarray(r_words[b])[keep],
                     "betas": np.asarray(betas[b])[keep],
                 })
+
+        # bounded two-stage pipeline (decode in flight -> explain in flight
+        # -> collected, request order preserved): explain outputs are the
+        # heavy residents (per-word relevance maps), so capping both stages
+        # keeps device memory O(devices) instead of O(request)
+        decodes: list = []
+        launched: list = []
+        for j, chunk in enumerate(chunks):
+            params, dev = self._slot(j)
+            x = self._pad(chunk)
+            if dev is not None:
+                x = jax.device_put(x, dev)
+            tokens, _ = self._decode.call(params, x)
+            decodes.append((chunk, x, params, tokens))
+            if len(decodes) > cap:
+                launched.append(launch_explain(decodes.pop(0)))
+            if len(launched) > cap:
+                collect(launched.pop(0))
+        for item in decodes:
+            launched.append(launch_explain(item))
+            if len(launched) > cap:
+                collect(launched.pop(0))
+        for item in launched:
+            collect(item)
         return out
 
 
@@ -306,9 +333,15 @@ class ExportedService:
                     import jax
 
                     x = jax.device_put(dummy, dev)
-                self._ec._decode.call(params, x)
+                last = self._ec._decode.call(params, x)[0]
                 for prog in self._ec._explain.values():
-                    prog.call(params, x, toks0)
+                    # betas (index -1) is the smallest output — fetch target
+                    last = prog.call(params, x, toks0)[-1]
+                # host-fetch the per-device LAST result: device execution is
+                # FIFO, so this lands every warmup program on this device
+                # before warmup_s is stamped (block_until_ready does not
+                # reliably wait on the relay backend — see bench_sound.py)
+                np.asarray(last)
             self.stats["warmup_s"] = round(time.time() - t0, 3)
 
     @property
