@@ -6,12 +6,17 @@ through both the LSTM decoder and the VGG16 encoder — the reference's
 explain-one-image pipeline (explain_image.py + models/explainers.py), which
 on Keras runs one numpy/CPU decoder backward and one Keras predict per word.
 
-vs_baseline compares against the Keras reference's measured CPU throughput
-for the same work (see BASELINE.md "measured baselines" — reference
-explainers are CPU-numpy per word; on this machine's class of CPU the
-reference sustains ~0.05 img/s). >1.0 means faster than the reference.
+vs_baseline divides by a MEASURED re-enactment of the Keras reference's
+CPU pipeline (experiments/baseline_cpu_reenactment.py, protocol in
+BASELINE.md): 0.007112 img/s measured single-core on this host, multiplied
+by a granted perfect-scaling 16-core allowance => 0.1138 img/s. >1.0 means
+faster than the reference.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
+"natural_value", "natural_source"} — natural_value is the length-sorted
+analyze_many throughput on natural caption lengths (~10 words), the
+configuration production actually runs (experiments/bench_natural.py);
+measured live on TPU, read from the committed artifact otherwise.
 """
 
 from __future__ import annotations
@@ -24,9 +29,14 @@ import jax.numpy as jnp
 import numpy as np
 
 # Keras-reference CPU throughput for caption+all-word LRP heatmaps (img/s).
-# See BASELINE.md: no throughput numbers exist in the reference repo; this is
-# the measured-on-comparable-hardware estimate recorded there.
-KERAS_CPU_BASELINE_IMG_PER_S = 0.05
+# MEASURED via experiments/baseline_cpu_reenactment.py (faithful re-enactment
+# of the reference's explain-one-image plan: 58 full-graph beam predicts +
+# per-word numpy decoder-LRP BPTT + reversed-VGG PresetA, T=20): 0.007112
+# img/s single-core on this host (experiments/BASELINE_CPU_MEASURED.json),
+# x16 granted as a PERFECT-SCALING multi-core allowance for a 16-core
+# workstation — generous: the numpy BPTT and the beam loop are sequential
+# Python and would not scale at all. Protocol: BASELINE.md.
+KERAS_CPU_BASELINE_IMG_PER_S = 0.007112 * 16  # = 0.1138
 
 import os as _os
 
@@ -265,12 +275,56 @@ def main():
 
     n_chips = 1  # bench runs single-chip
     img_per_s = BATCH * iters / dt / n_chips
+
+    natural_value, natural_source = _natural_value()
     print(json.dumps({
         "metric": "caption+lrp_heatmap_throughput",
         "value": round(img_per_s, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / KERAS_CPU_BASELINE_IMG_PER_S, 2),
+        "natural_value": natural_value,
+        "natural_source": natural_source,
     }))
+
+
+def _natural_value():
+    """Length-sorted analyze_many throughput on natural caption lengths —
+    the configuration production serving actually runs (bench_natural.py).
+
+    Measured LIVE on a real TPU at the full 224^2 protocol (sorted policy
+    only, 2 timed passes, ~1-2 min with compiles); anywhere else (CPU
+    backends, shrunk test shapes) the committed artifact value is reported,
+    labeled by natural_source. LRPIC_BENCH_SKIP_NATURAL=1 forces the
+    artifact path; failures fall back to it too (the headline metric must
+    never be lost to the secondary one)."""
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    artifact = os.path.join(here, "experiments", "BENCH_natural.json")
+
+    def from_artifact(reason):
+        try:
+            with open(artifact) as f:
+                v = json.load(f)["explain_img_per_s"]["length_sorted"]
+            return v, f"artifact ({reason})"
+        except Exception:
+            return None, f"unavailable ({reason})"
+
+    if os.environ.get("LRPIC_BENCH_SKIP_NATURAL"):
+        return from_artifact("skipped by env")
+    if CFG_OVERRIDES or os.environ.get("LRPIC_BENCH_MESH"):
+        return from_artifact("non-headline shapes")
+    if jax.devices()[0].platform != "tpu":
+        return from_artifact(f"backend {jax.devices()[0].platform}")
+    try:
+        sys.path.insert(0, os.path.join(here, "experiments"))
+        import bench_natural
+
+        out = bench_natural.measure(policies=("length_sorted",), iters=2)
+        return out["explain_img_per_s"]["length_sorted"], "live"
+    except Exception as e:  # noqa: BLE001 — headline must survive
+        return from_artifact(f"live failed: {type(e).__name__}")
 
 
 if __name__ == "__main__":

