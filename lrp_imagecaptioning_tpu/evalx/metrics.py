@@ -212,7 +212,17 @@ class METEOR:
 
     Python path: standard METEOR formula (alpha=0.9, beta=3.0, gamma=0.5)
     with exact and Porter-stem matchers; synonym/paraphrase stages need
-    WordNet data and are omitted. Values track but do not equal the jar's.
+    WordNet/paraphrase data shipped with the jar and are omitted.
+
+    Fallback fidelity (measured, experiments/METEOR_FALLBACK_BOUND.json):
+    per-segment scores are differential-pinned to NLTK's independent
+    meteor_score (same exact+stem stages, same parameters) to < 1e-12 over
+    a 240-pair perturbation corpus (tests/test_meteor_differential.py), so
+    the alignment engine and formula are third-party-verified. The
+    remaining jar deviation comes only from the missing synonym/paraphrase
+    stages and the jar's en-task parameter tuning; the measured stem-stage
+    sensitivity on the same corpus (recorded in the artifact) bounds the
+    per-stage contribution scale.
     """
 
     ALPHA, BETA_P, GAMMA = 0.9, 3.0, 0.5
@@ -262,29 +272,43 @@ class METEOR:
     # --- python path ---
 
     def _align(self, hyp, ref):
-        """Greedy stage-wise alignment; returns (matches, chunks)."""
+        """Greedy stage-wise alignment; returns (matches, chunks).
+
+        Tie-breaking for duplicate words follows NLTK's meteor_score
+        (_match_enums: both lists walked in REVERSE, highest-index ref slot
+        claimed first) so the fallback is differential-pinned bit-for-bit to
+        that independent implementation
+        (tests/test_meteor_differential.py). The jar's own resolver is a
+        chunk-minimizing beam search, which can pick a different max-match
+        alignment when duplicates allow several; the measured sensitivity of
+        that ambiguity is recorded in experiments/METEOR_FALLBACK_BOUND.json.
+        """
         m = len(hyp)
         match_of = [-1] * m
         used_ref = [False] * len(ref)
         for stage in (lambda w: w, self._stem):
             hkey = [stage(w) for w in hyp]
             rkey = [stage(w) for w in ref]
-            for i in range(m):
+            for i in range(m - 1, -1, -1):
                 if match_of[i] >= 0:
                     continue
-                for j in range(len(ref)):
+                for j in range(len(ref) - 1, -1, -1):
                     if not used_ref[j] and hkey[i] == rkey[j]:
                         match_of[i] = j
                         used_ref[j] = True
                         break
         pairs = [(i, j) for i, j in enumerate(match_of) if j >= 0]
         matches = len(pairs)
+        # a METEOR chunk is a maximal run of matches adjacent in BOTH the
+        # hypothesis and the reference (Banerjee & Lavie 2005 §2.1; NLTK
+        # meteor_score counts identically) — a skipped hyp word breaks the
+        # chunk even when the ref indices stay consecutive
         chunks = 0
         prev = None
         for i, j in pairs:
-            if prev is None or j != prev + 1:
+            if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
                 chunks += 1
-            prev = j
+            prev = (i, j)
         return matches, chunks
 
     def calculate(self, id_to_prediction, id_to_references):

@@ -33,21 +33,29 @@ SPICE_F = 0.25
 def meteor(argv):
     log_path = os.environ.get("FAKE_METEOR_LOG")
     log = open(log_path, "a") if log_path else None
-    n_segments = 0
+    stats_emitted = []
     for line in sys.stdin:
         line = line.rstrip("\n")
         if log:
             log.write(line + "\n")
             log.flush()
         if line.startswith("SCORE |||"):
-            n_segments += 1
-            # stat string: real meteor emits space-separated counts
-            sys.stdout.write(f"{len(line.split())} 1 0 0\n")
+            # stat string shaped like MeteorStats.toString(): a flat vector
+            # of space-separated numbers (tstLen refLen matches ... chunks).
+            # Embed the segment index + a content checksum so EVAL can verify
+            # the adapter passed every stat back VERBATIM and IN ORDER.
+            seg = len(stats_emitted)
+            stat = f"{seg} {len(line.split())} {sum(map(ord, line)) % 9973} 1 0 0"
+            stats_emitted.append(stat)
+            sys.stdout.write(stat + "\n")
             sys.stdout.flush()
         elif line.startswith("EVAL |||"):
-            n_stats = line.count("|||")
-            assert n_stats == n_segments, (n_stats, n_segments)
-            for i in range(n_segments):
+            got = [s.strip() for s in line.split("|||")[1:]]
+            # transcript round-trip integrity: pycocoevalcap's protocol treats
+            # stats as opaque — any reordering/mutation by the adapter breaks
+            # the real jar, so the fake enforces byte-identity here
+            assert got == stats_emitted, (got, stats_emitted)
+            for i in range(len(stats_emitted)):
                 sys.stdout.write(f"{0.5 + 0.01 * i}\n")
             sys.stdout.write(f"{METEOR_FINAL}\n")
             sys.stdout.flush()

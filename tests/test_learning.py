@@ -81,6 +81,30 @@ def _scene(datum):
     return table[datum.img_filename.split(".")[0]]
 
 
+def _greedy_captions(cfg, prov, cap, params, datums):
+    """Greedy-decode each datum's image; returns word lists (EOS-stripped)."""
+    pp = prov.caption_preprocessor
+    ip = ImagePreprocessor(encoder=cfg.img_encoder, image_size=cfg.image_size)
+    imgs = ip.preprocess_batch_paths([d.img_path for d in datums])
+    feat = cap.encode(params, jnp.asarray(imgs))
+    toks, _ = greedy_decode(cap, params, feat, pp.SOS_TOKEN_LABEL_ENCODED,
+                            pp.EOS_TOKEN_LABEL_ENCODED, T)
+    captions = []
+    for row in np.asarray(toks):
+        words = []
+        for t in row:
+            if t <= 0 or t == pp.EOS_TOKEN_LABEL_ENCODED:
+                break
+            words.append(pp.word_of.get(int(t), "?"))
+        captions.append(words)
+    return captions
+
+
+def _colour_hits(cfg, prov, cap, params, datums):
+    captions = _greedy_captions(cfg, prov, cap, params, datums)
+    return [_scene(d)[1] in words for d, words in zip(datums, captions)]
+
+
 @pytest.mark.slow
 def test_model_learns_to_caption_colours(trained):
     cfg, ds, prov, cap, params, datums, first, last = trained
@@ -91,17 +115,7 @@ def test_model_learns_to_caption_colours(trained):
     # (b) greedy captions name the drawn rectangle's colour on at least half
     # of the 8 unique training images (measured: 6/8 at 350 steps; threshold
     # leaves margin for cross-host reduction-order drift)
-    pp = prov.caption_preprocessor
-    ip = ImagePreprocessor(encoder=cfg.img_encoder, image_size=cfg.image_size)
-    imgs = ip.preprocess_batch_paths([d.img_path for d in datums])
-    feat = cap.encode(params, jnp.asarray(imgs))
-    toks, _ = greedy_decode(cap, params, feat, pp.SOS_TOKEN_LABEL_ENCODED,
-                            pp.EOS_TOKEN_LABEL_ENCODED, T)
-    hits = []
-    for d, row in zip(datums, np.asarray(toks)):
-        words = [pp.word_of.get(int(t), "?") for t in row if t > 0]
-        _, colour, _ = _scene(d)
-        hits.append(colour in words)
+    hits = _colour_hits(cfg, prov, cap, params, datums)
     assert sum(hits) >= len(hits) // 2, list(zip([d.img_filename for d in datums], hits))
 
 
@@ -143,3 +157,119 @@ def test_teacher_forced_explanations_run_on_trained_model(trained):
     assert np.isfinite(hm).all() and hm.max() > 0
     # non-degenerate: relevance is spatially structured, not constant
     assert hm.sum(-1).std() > 1e-6 * hm.sum(-1).mean()
+
+
+@pytest.mark.slow
+def test_lrp_finetune_semantic_rehearsal(trained, tmp_path, monkeypatch):
+    """The paper's core loop, end-to-end and ASSERTED at fixture scale:
+    train -> LRP-inference finetune (through the CLI, reference
+    train.py:519-673 driven as chunks like train.py:696-716) -> evaluate.
+
+    Asserts (VERDICT r03 item 2):
+    (a) the emitted relevance weights follow the reference mechanics on REAL
+        model predictions — weight 1 everywhere except the predicted-word
+        slot of non-stop pre-EOS words (model.py:2035-2061);
+    (b) the dual loss (model.py:1308-1312) decreases over the finetune and
+        greedy captions do not degrade;
+    (c) the hallucination proxy — frequent-object mAP over the fixture's
+        colour+object vocabulary (exaimin_word.py:315-367 semantics via
+        evalx.words.frequent_object_map) — does not regress.
+    """
+    from lrp_imagecaptioning_tpu import cli
+    from lrp_imagecaptioning_tpu.evalx.words import frequent_object_map
+    from lrp_imagecaptioning_tpu.train.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_params_npz)
+    from lrp_imagecaptioning_tpu.train.lrp_finetune import (
+        dual_loss, lrp_weights, stop_word_table)
+
+    cfg, ds, prov, cap, params, datums, _, _ = trained
+    pp = prov.caption_preprocessor
+    monkeypatch.chdir(tmp_path)
+
+    sos = pp.SOS_TOKEN_LABEL_ENCODED
+    eos = pp.EOS_TOKEN_LABEL_ENCODED
+    stop_t = jnp.asarray(stop_word_table(pp))
+
+    # one fixed teacher-forced batch for the before/after dual-loss probe
+    (x_eval, imgs_eval), y_eval = next(prov.training_set(pad_to_length=T))
+    x_eval = jnp.asarray(x_eval, jnp.int32)
+    imgs_eval = jnp.asarray(imgs_eval)
+    y_eval = jnp.asarray(y_eval)
+
+    def dual_loss_of(p):
+        logits = cap.forward_train(p, imgs_eval, x_eval, None)
+        w = lrp_weights(cap, p, imgs_eval, logits, stop_t, sos, eos)
+        return float(dual_loss(logits, w, y_eval)), np.asarray(logits), np.asarray(w)
+
+    before_dual, logits_np, w_np = dual_loss_of(params)
+
+    # ---- (a) weight mechanics on real predictions --------------------------
+    stop_np = np.asarray(stop_t)
+    caption1 = logits_np.argmax(-1) + 1                     # (B,T) 1-based
+    n_explained = 0
+    for b in range(caption1.shape[0]):
+        seen_eos = False
+        for t in range(caption1.shape[1]):
+            tok = int(caption1[b, t])
+            row = w_np[b, t]
+            if seen_eos or tok == eos or stop_np[tok]:
+                seen_eos = seen_eos or tok == eos
+                assert (row == 1.0).all(), (b, t, tok, "skipped word must keep weight 1")
+            else:
+                off = np.delete(row, tok - 1)
+                assert (off == 1.0).all(), (b, t, tok, "only the predicted slot is reweighted")
+                if row[tok - 1] != 1.0:
+                    n_explained += 1
+    # a trained model on this fixture predicts real (non-stop) words: the
+    # 1+score bonus must actually fire somewhere
+    assert n_explained > 0
+
+    # ---- before metrics ----------------------------------------------------
+    hits_before = _colour_hits(cfg, prov, cap, params, datums)
+    categories = ["red", "blue", "green", "yellow", "dog", "cat", "ball", "car", "tree"]
+
+    def caption_map(p):
+        captions = _greedy_captions(cfg, prov, cap, p, datums)
+        id_to_pred = {d.img_filename: " ".join(ws)
+                      for d, ws in zip(datums, captions)}
+        id_to_refs = {d.img_filename: [c.lower() for c in d.all_captions_txt]
+                      for d in datums}
+        return frequent_object_map(id_to_pred, id_to_refs, categories)
+
+    map_before = caption_map(params)
+
+    # ---- finetune-lrp through the CLI (2 chunks x 6 iterations) -----------
+    save_params_npz("trained.npz", params)
+    cli.main([
+        "finetune-lrp",
+        "--dataset", "flickr30k", "--dataset-root", cfg.dataset_root,
+        "--model", "adaptiveattention", "--batch-size", "8",
+        "--set", "image_size=64,64",
+        "--set", "img_feature_length=16",
+        "--set", "embedding_dim=32",
+        "--set", "hidden_dim=48",
+        "--set", f"sentence_length={T}",
+        "--set", "rare_words_handling=nothing",
+        "--set", "drop_rate=0.0",
+        "--weights", "trained.npz",
+        "--chunks", "2", "--epoch-length", "6",
+        "--learning-rate", "1e-4",
+        "--out", "ft-out",
+    ])
+    ckpt = latest_checkpoint("ft-out")
+    assert ckpt is not None, "finetune-lrp left no checkpoint"
+    params_ft, _ = restore_checkpoint(ckpt, params)
+
+    # ---- (b) dual loss decreases; captions don't degrade -------------------
+    after_dual, _, _ = dual_loss_of(params_ft)
+    assert after_dual < before_dual, (before_dual, after_dual)
+
+    hits_after = _colour_hits(cfg, prov, cap, params_ft, datums)
+    assert sum(hits_after) >= max(sum(hits_before) - 1, len(hits_after) // 2), (
+        hits_before, hits_after)
+
+    # ---- (c) hallucination proxy does not regress ---------------------------
+    map_after = caption_map(params_ft)
+    # one caption flipping one category word moves the fixture mAP by
+    # (1/count_cat)/(len-1)*100 ~= 6.3; "does not regress" = no such flip
+    assert map_after >= map_before - 1e-9, (map_before, map_after)

@@ -1,0 +1,193 @@
+"""Differential + hand-derived oracles for the METEOR Python fallback.
+
+The reference scores METEOR through meteor-1.5.jar (metrics.py:62-73); no JRE
+ships here, so the fallback (evalx/metrics.py::METEOR, exact+stem stages) is
+pinned two independent ways, like BLEU/ROUGE/CIDEr are:
+
+1. **Third-party differential oracle**: NLTK's ``meteor_score`` is an
+   independent METEOR implementation (same Banerjee & Lavie formula, same
+   exact -> stem -> synonym stage ladder). Passing a stub wordnet whose
+   ``synsets`` is empty reduces it to exactly our exact+stem configuration,
+   with identical alpha/beta/gamma defaults (0.9/3.0/0.5) — per-segment
+   scores must agree to float precision over a perturbation corpus.
+2. **Hand-derived cases**: alignments (matches, chunks) and full scores
+   computed by hand from the METEOR definitions, as explicit arithmetic.
+
+The measured corpus-level deviation artifact lives in
+experiments/METEOR_FALLBACK_BOUND.json (experiments/meteor_fallback_bound.py).
+"""
+
+import random
+
+import pytest
+
+from lrp_imagecaptioning_tpu.evalx.metrics import METEOR
+
+
+class _NoWordnet:
+    """Stub: disables NLTK's synonym stage, leaving exact+stem — our config."""
+
+    @staticmethod
+    def synsets(word):
+        return []
+
+
+def _nltk_meteor(hyp_words, refsets_words):
+    from nltk.stem.porter import PorterStemmer
+    from nltk.translate import meteor_score as ms
+
+    return ms.meteor_score(refsets_words, hyp_words,
+                           stemmer=PorterStemmer(), wordnet=_NoWordnet)
+
+
+def _ours(hyp_words, refsets_words):
+    """Per-segment fallback score on pre-tokenized words (bypasses PTB
+    tokenization so the comparison isolates alignment + formula)."""
+    m = METEOR()
+    m._jar = None  # force the Python path regardless of env
+    best = 0.0
+    for ref in refsets_words:
+        matches, chunks = m._align(hyp_words, ref)
+        if matches == 0:
+            continue
+        p_ = matches / len(hyp_words)
+        q_ = matches / len(ref)
+        fmean = p_ * q_ / (m.ALPHA * p_ + (1 - m.ALPHA) * q_)
+        pen = m.GAMMA * ((chunks / matches) ** m.BETA_P)
+        best = max(best, fmean * (1 - pen))
+    return best
+
+
+# ---------------------------------------------------------------------------
+# 1. NLTK differential over a deterministic perturbation corpus
+# ---------------------------------------------------------------------------
+
+_BASE = [
+    "a man in a red shirt is riding a brown horse",
+    "two dogs are running across the wet grass",
+    "the young woman holds a large striped umbrella",
+    "a group of people sit around a wooden table",
+    "a small child plays with colourful building blocks",
+    "the black cat sleeps on the warm window sill",
+]
+
+_STEM_SWAPS = {
+    "riding": "rides", "running": "runs", "holds": "holding",
+    "plays": "played", "sleeps": "sleeping", "dogs": "dog",
+    "colourful": "colour", "blocks": "block", "striped": "stripe",
+}
+
+
+def _perturbations():
+    rng = random.Random(0)
+    cases = []
+    for sent in _BASE:
+        ref = sent.split()
+        variants = []
+        variants.append(list(ref))                                # identical
+        variants.append([_STEM_SWAPS.get(w, w) for w in ref])     # stem-only
+        shuf = list(ref)
+        rng.shuffle(shuf)
+        variants.append(shuf)                                     # reordered
+        variants.append(ref[::2])                                 # every other
+        variants.append(ref[3:] + ref[:3])                        # rotated
+        drop = [w for w in ref if rng.random() > 0.3]
+        variants.append(drop or ref[:1])                          # dropped
+        variants.append(["zebra", "quantum", "x"])                # no overlap-ish
+        variants.append(ref[:1])                                  # single word
+        for hyp in variants:
+            cases.append((hyp, [ref]))
+        # multi-reference: best-of over the original and a stem variant
+        cases.append((variants[2], [ref, variants[1]]))
+        cases.append((variants[5], [ref[::2], ref[1::2] or ref[:2]]))
+    return cases
+
+
+def test_meteor_fallback_matches_nltk_per_segment():
+    cases = _perturbations()
+    assert len(cases) == 60
+    worst = 0.0
+    for hyp, refs in cases:
+        got = _ours(hyp, refs)
+        want = _nltk_meteor(hyp, refs)
+        worst = max(worst, abs(got - want))
+        assert got == pytest.approx(want, abs=1e-12), (hyp, refs, got, want)
+    assert worst < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# 2. Hand-derived alignment cases (parameter-independent)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "hyp, ref, want_matches, want_chunks",
+    [
+        # identical: one chunk covering everything
+        ("the cat sat on the mat", "the cat sat on the mat", 6, 1),
+        # 'X' breaks hyp adjacency even though ref indices stay consecutive:
+        # pairs (0,0),(2,1) -> 2 chunks, NOT 1
+        ("a X b", "a b", 2, 2),
+        # reversal: every match its own chunk (never adjacent in both)
+        ("c b a", "a b c", 3, 3),
+        # duplicate hyp words greedily claim distinct ref slots in order:
+        # hyp 'the the cat' vs ref 'the cat the': (0,0),(1,2),(2,1) -> 3 chunks
+        ("the the cat", "the cat the", 3, 3),
+        # stem stage fills what exact left: 'running'~'runs' adjacent to 'dogs'
+        ("dogs running fast", "dogs runs fast", 3, 1),
+        # unmatched ref tail doesn't break the hyp-side chunk
+        ("a b", "a b c d", 2, 1),
+        # interleaved: (0,0),(1,2) -> ref gap breaks the chunk
+        ("a b", "a x b", 2, 2),
+        ("q w e", "z z z", 0, 0),
+    ],
+)
+def test_meteor_alignment_hand_cases(hyp, ref, want_matches, want_chunks):
+    m = METEOR()
+    matches, chunks = m._align(hyp.split(), ref.split())
+    assert (matches, chunks) == (want_matches, want_chunks)
+
+
+# ---------------------------------------------------------------------------
+# 3. Hand-derived full scores (explicit arithmetic, alpha=.9 beta=3 gamma=.5)
+# ---------------------------------------------------------------------------
+
+
+def test_meteor_score_hand_case_partial_overlap():
+    # hyp 'the cat sat' vs ref 'the cat sat down':
+    # m=3, ch=1; P=3/3=1, R=3/4; fmean = P*R/(.9P+.1R) = .75/.975
+    # pen = .5*(1/3)**3 = 1/54; score = fmean*(1-pen)
+    got = _ours("the cat sat".split(), ["the cat sat down".split()])
+    fmean = (1.0 * 0.75) / (0.9 * 1.0 + 0.1 * 0.75)
+    want = fmean * (1 - 0.5 * (1 / 3) ** 3)
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_meteor_score_hand_case_fragmented():
+    # hyp 'b a d c' vs ref 'a b c d': all 4 match, no pair adjacent in both
+    # -> ch=4, frag=1, pen=.5; P=R=1 -> fmean=1; score=.5
+    got = _ours("b a d c".split(), ["a b c d".split()])
+    assert got == pytest.approx(0.5, abs=1e-12)
+
+
+def test_meteor_score_hand_case_multi_reference_best():
+    # ref1 yields m=1 of hyp-len 2 (low); ref2 identical (high): best-of wins
+    hyp = "green ball".split()
+    ref1 = "red ball bounces".split()
+    ref2 = "green ball".split()
+    got = _ours(hyp, [ref1, ref2])
+    want = 1 * (1 - 0.5 * (1 / 2) ** 3)  # identical 2-gram: m=2 ch=1 frag=.5
+    assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_meteor_calculate_is_segment_mean():
+    """calculate() (the adapter entry) averages per-segment scores after PTB
+    tokenization — corpus mean of two hand-computable segments."""
+    m = METEOR()
+    m._jar = None
+    p = {"a": [{"caption": "the cat sat"}], "b": [{"caption": "b a d c"}]}
+    r = {"a": [{"caption": "the cat sat"}], "b": [{"caption": "a b c d"}]}
+    out = m.calculate(p, r)["METEOR"]
+    s_a = 1 - 0.5 * (1 / 3) ** 3
+    s_b = 0.5
+    assert out == pytest.approx((s_a + s_b) / 2, abs=1e-12)
