@@ -156,6 +156,10 @@ def cmd_evaluate(args):
     kw = {"beam_size": args.beam_size} if args.beam_size > 1 else {}
     inference = cls(captioner, params, provider, max_caption_length=cfg.sentence_length, **kw)
     metrics, preds, refs = inference.evaluate_test_set(include_prediction=True)
+    if getattr(args, "bert_model", None):
+        from .evalx.metrics import BERT
+
+        metrics.update(BERT(model_path=args.bert_model).calculate(preds, refs))
     print(metrics)
     if args.out:
         import os
@@ -439,6 +443,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_finetune_lrp)
 
     p = sub.add_parser("evaluate", help="caption-metric evaluation (inference.py main)")
+    p.add_argument("--bert-model", dest="bert_model", default=None,
+                   help="local transformers model dir: also report BERTScore "
+                        "(pycocoevalcap/bert adapter semantics)")
     _add_common(p)
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--out", default=None)

@@ -384,25 +384,101 @@ class SPICE:
 
 
 class BERT:
-    """BERTScore when a local transformers model is available, else 0
-    (pycocoevalcap/bert/bert.py:3-50)."""
+    """BERTScore over a local ``transformers`` model, else 0.
 
-    def __init__(self, model_path: str | None = None):
+    Semantics follow the reference adapter (pycocoevalcap/bert/bert.py:3-50):
+    every (hypothesis, reference) pair is flattened — the hypothesis repeated
+    once per reference — scored individually, and the corpus value is the
+    MEAN of per-pair F1s (NOT best-of-references). The scoring itself is
+    BERTScore (Zhang et al., ICLR 2020) with bert_score.score's defaults as
+    the reference calls it: greedy cosine matching of final-hidden-layer
+    token embeddings, special tokens excluded, no idf weighting, no baseline
+    rescaling. Implemented directly over transformers/torch because the
+    ``bert_score`` pip package is an external dependency the reference does
+    not vendor either.
+
+    ``model_path``: local directory loadable by AutoTokenizer/AutoModel
+    (no-download: this environment has no egress, and serving fleets pin
+    local snapshots anyway). ``layer``: hidden-state index (default -1, the
+    last layer). Without a model the metric degrades to 0 exactly like the
+    reference without bert_score installed.
+    """
+
+    def __init__(self, model_path: str | None = None, layer: int = -1,
+                 batch_size: int = 32):
         self._model_path = model_path
+        self._layer = layer
+        self._batch = batch_size
+        self._tok = self._model = None
+
+    def _load(self):
+        if self._model is None:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+
+            self._tok = AutoTokenizer.from_pretrained(self._model_path)
+            self._model = AutoModel.from_pretrained(self._model_path)
+            self._model.eval()
+            torch.set_grad_enabled(False)
+
+    def _embed(self, sentences):
+        """-> list of (n_real_tokens, H) unit-norm numpy arrays, special
+        tokens dropped (bert_score strips them before matching)."""
+        import numpy as np_
+        import torch
+
+        out = []
+        special = set(self._tok.all_special_ids)
+        for i in range(0, len(sentences), self._batch):
+            chunk = sentences[i:i + self._batch]
+            enc = self._tok(chunk, return_tensors="pt", padding=True,
+                            truncation=True)
+            hidden = self._model(**enc, output_hidden_states=True
+                                 ).hidden_states[self._layer]
+            for b in range(len(chunk)):
+                ids = enc["input_ids"][b]
+                keep = [t for t in range(int(enc["attention_mask"][b].sum()))
+                        if int(ids[t]) not in special]
+                e = hidden[b, keep].numpy().astype(np_.float64)
+                norm = np_.linalg.norm(e, axis=-1, keepdims=True)
+                out.append(e / np_.maximum(norm, 1e-12))
+        return out
+
+    @staticmethod
+    def pair_f1(cand_emb, ref_emb) -> float:
+        """Greedy-matching F1 of two unit-norm token-embedding matrices."""
+        import numpy as np_
+
+        if len(cand_emb) == 0 or len(ref_emb) == 0:
+            return 0.0
+        sim = cand_emb @ ref_emb.T                      # (nc, nr)
+        p = float(np_.mean(sim.max(axis=1)))            # each cand -> best ref
+        r = float(np_.mean(sim.max(axis=0)))            # each ref -> best cand
+        if p + r == 0:
+            return 0.0
+        return 2 * p * r / (p + r)
 
     def calculate(self, id_to_prediction, id_to_references):
         if self._model_path is None:
             return {"BERTScore": 0.0}
         try:
-            from bert_score import score as bert_score  # type: ignore
-
-            keys = sorted(id_to_prediction)
-            cands = [id_to_prediction[k][0]["caption"] for k in keys]
-            refs = [[r["caption"] for r in id_to_references[k]] for k in keys]
-            _, _, f1 = bert_score(cands, refs, model_type=self._model_path, lang="en")
-            return {"BERTScore": float(f1.mean())}
-        except Exception:
+            self._load()
+        except Exception as e:
+            warnings.warn(f"BERTScore model unavailable ({e}); returning 0")
             return {"BERTScore": 0.0}
+        # reference flattening: one (hyp, ref) row per reference caption
+        cands, refs = [], []
+        for k in sorted(id_to_prediction):
+            hyp = id_to_prediction[k][0]["caption"]
+            for r in id_to_references[k]:
+                cands.append(hyp)
+                refs.append(r["caption"])
+        if not cands:
+            return {"BERTScore": 0.0}
+        cand_embs = self._embed(cands)
+        ref_embs = self._embed(refs)
+        f1s = [self.pair_f1(c, r) for c, r in zip(cand_embs, ref_embs)]
+        return {"BERTScore": float(sum(f1s) / len(f1s))}
 
 
 def default_metrics():
