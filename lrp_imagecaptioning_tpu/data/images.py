@@ -96,27 +96,71 @@ class ImagePreprocessor:
     #    zoom 0.2, hflip — preprocessors.py:18-25) -------------------------
 
     def _random_transform(self, x: np.ndarray) -> np.ndarray:
-        from scipy.ndimage import affine_transform
-
-        h, w = x.shape[0], x.shape[1]
-        theta = np.deg2rad(self._rng.uniform(-40, 40))
-        tx = self._rng.uniform(-0.2, 0.2) * h
-        ty = self._rng.uniform(-0.2, 0.2) * w
-        shear = np.deg2rad(self._rng.uniform(-0.2, 0.2))
+        # parameter draws mirror ImageDataGenerator.get_random_transform for
+        # the reference's generator config (preprocessors.py:18-25): theta in
+        # DEGREES, shifts scaled by the image dims, shear in DEGREES (the
+        # Keras quirk — shear_range=0.2 means +-0.2 deg, not radians or a
+        # fraction), zoom in [1-z, 1+z], hflip with p=.5
+        theta = self._rng.uniform(-40, 40)
+        tx = self._rng.uniform(-0.2, 0.2) * x.shape[0]
+        ty = self._rng.uniform(-0.2, 0.2) * x.shape[1]
+        shear = self._rng.uniform(-0.2, 0.2)
         zx, zy = self._rng.uniform(0.8, 1.2, size=2)
         flip = self._rng.random() < 0.5
-
-        rot = np.array([[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]])
-        shift = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]])
-        sh = np.array([[1, -np.sin(shear), 0], [0, np.cos(shear), 0], [0, 0, 1]])
-        zm = np.array([[zx, 0, 0], [0, zy, 0], [0, 0, 1]])
-        m = rot @ shift @ sh @ zm
-        # center the transform
-        off = np.array([h, w]) / 2.0 - 0.5
-        offset = off - m[:2, :2] @ off + m[:2, 2]
-        out = np.empty_like(x)
-        for c in range(x.shape[2]):
-            out[..., c] = affine_transform(x[..., c], m[:2, :2], offset=offset, order=1, mode="nearest")
+        out = apply_affine_transform(x, theta, tx, ty, shear, zx, zy)
         if flip:
             out = out[:, ::-1]
         return out
+
+
+def apply_affine_transform(x: np.ndarray, theta: float = 0.0, tx: float = 0.0,
+                           ty: float = 0.0, shear: float = 0.0, zx: float = 1.0,
+                           zy: float = 1.0) -> np.ndarray:
+    """Keras ``apply_affine_transform`` semantics for HWC arrays
+    (differential-pinned against tf_keras in tests/test_augmentation.py).
+
+    ``theta``/``shear`` in degrees; ``tx`` shifts rows, ``ty`` columns (both
+    in pixels); matrices composed rot @ shift @ shear @ zoom, centered at
+    (dim/2 - 0.5), bilinear sampling with nearest fill — the transform the
+    reference's ImageDataGenerator applies during training augmentation
+    (preprocessors.py:18-25).
+    """
+    from scipy.ndimage import affine_transform
+
+    h, w = x.shape[0], x.shape[1]
+    theta = np.deg2rad(theta)
+    shear = np.deg2rad(shear)
+    m = None
+
+    def compose(a, b):
+        return b if a is None else a @ b
+
+    if theta != 0:
+        m = compose(m, np.array([[np.cos(theta), -np.sin(theta), 0],
+                                 [np.sin(theta), np.cos(theta), 0],
+                                 [0, 0, 1.0]]))
+    if tx != 0 or ty != 0:
+        m = compose(m, np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1.0]]))
+    if shear != 0:
+        m = compose(m, np.array([[1, -np.sin(shear), 0],
+                                 [0, np.cos(shear), 0], [0, 0, 1.0]]))
+    if zx != 1 or zy != 1:
+        m = compose(m, np.array([[zx, 0, 0], [0, zy, 0], [0, 0, 1.0]]))
+    if m is None:
+        return x
+    # Keras builds the matrix in (x, y) coordinates with x = rows, centers it
+    # at (h/2-.5, w/2-.5), then swaps the axes to array (row, col) order
+    # before handing it to scipy (tf_keras image.py transform_matrix_
+    # offset_center + the PMP permutation in apply_affine_transform) — the
+    # differential tests pin this exact composition
+    o = np.array([h, w]) / 2.0 - 0.5
+    offset_m = np.array([[1, 0, o[0]], [0, 1, o[1]], [0, 0, 1.0]])
+    reset_m = np.array([[1, 0, -o[0]], [0, 1, -o[1]], [0, 0, 1.0]])
+    m = offset_m @ m @ reset_m
+    m[:, [0, 1]] = m[:, [1, 0]]
+    m[[0, 1]] = m[[1, 0]]
+    out = np.empty_like(x)
+    for c in range(x.shape[2]):
+        out[..., c] = affine_transform(x[..., c], m[:2, :2], offset=m[:2, 2],
+                                       order=1, mode="nearest")
+    return out

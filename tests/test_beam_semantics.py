@@ -196,3 +196,37 @@ def test_topk_finfo_min_corner_pinned():
     vr, ir = jax.lax.top_k(jnp.asarray(x), 3)
     np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+
+
+def test_top_k_saturated_rows_never_select_twice():
+    """Regression for _top_k's documented corner (infer/beam.py:26-54):
+    rows saturated at float32 finfo.min and/or -inf. Masked winners are set
+    to -inf on the CLAMPED copy, so even when every candidate ties at the
+    clamp floor no index may be selected twice, and values must come from
+    the original input."""
+    import itertools
+
+    from lrp_imagecaptioning_tpu.infer.beam import _top_k
+
+    fmin = float(jnp.finfo(jnp.float32).min)
+    rows = [
+        [fmin] * 6,                              # all exactly finfo.min
+        [-np.inf] * 6,                           # all -inf
+        [fmin, -np.inf] * 3,                     # interleaved ties
+        [-np.inf, fmin, -np.inf, fmin, fmin, -np.inf],
+        [0.5, fmin, -np.inf, fmin, -np.inf, 0.25],  # mixed with finite
+    ]
+    x = jnp.asarray(np.array(rows, np.float32))
+    for k in (1, 2, 3, 4, 6):
+        vals, idxs = _top_k(x, k)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        assert idxs.shape == vals.shape == (len(rows), k)
+        for b in range(len(rows)):
+            assert len(set(idxs[b].tolist())) == k, (b, k, idxs[b])
+            # returned values are the ORIGINAL inputs at those indices
+            np.testing.assert_array_equal(
+                vals[b], np.array(rows[b], np.float32)[idxs[b]])
+        # finite entries must win before any saturated ones
+        assert idxs[4, 0] == 0
+        if k >= 2:
+            assert idxs[4, 1] == 5
