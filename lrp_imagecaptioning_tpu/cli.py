@@ -53,17 +53,17 @@ def _coerce_config_value(cfg, key: str, raw: str):
     return raw
 
 
-def _build_dataset(args):
+def _build_config(args):
+    """Config from --dataset/--set/common flags, WITHOUT touching the
+    dataset files (cmd_parity runs dataset-less against a bare .hdf5)."""
     from .config import COCO2014Config, COCOConfig, FlickrConfig
-    from .data.datasets import COCODataset, COCODatasetKarpathy, Flickr30kDataset, SyntheticDataset
 
-    cfgs = {
-        "flickr30k": (FlickrConfig, Flickr30kDataset),
-        "coco": (COCOConfig, COCODataset),
-        "coco2014": (COCO2014Config, COCODatasetKarpathy),
-        "synthetic": (FlickrConfig, None),
-    }
-    cfg_cls, ds_cls = cfgs[args.dataset]
+    cfg_cls = {
+        "flickr30k": FlickrConfig,
+        "coco": COCOConfig,
+        "coco2014": COCO2014Config,
+        "synthetic": FlickrConfig,
+    }[args.dataset]
     cfg = cfg_cls()
     overrides = {}
     for field in ("batch_size", "learning_rate", "epochs"):
@@ -79,10 +79,22 @@ def _build_dataset(args):
         overrides[key] = _coerce_config_value(cfg, key, raw)
     if overrides:
         cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def _build_dataset(args):
+    from .data.datasets import COCODataset, COCODatasetKarpathy, Flickr30kDataset
+
+    cfg = _build_config(args)
     if args.dataset == "synthetic":
         from .data.datasets import SyntheticDataset
 
         return cfg, SyntheticDataset(cfg)
+    ds_cls = {
+        "flickr30k": Flickr30kDataset,
+        "coco": COCODataset,
+        "coco2014": COCODatasetKarpathy,
+    }[args.dataset]
     return cfg, ds_cls(cfg)
 
 
@@ -274,6 +286,97 @@ def _load_params(captioner, args):
 
     params, _ = restore_checkpoint(args.weights, params)
     return params
+
+
+def cmd_parity(args):
+    """Published-checkpoint parity harness (MIGRATION.md: the FIRST action
+    when reference weights become available). Loads a reference Keras .hdf5
+    (README.md:33 pretrained links; save format train.py:79-88), captions +
+    explains one image through the full pipeline, then either RECORDS the
+    outputs (--out DIR) or DIFFS them against a recorded expectation
+    (--expect DIR) — token-exact captions, relevance/attention maps within
+    --tol of the expectation's scale. Exit code 1 on mismatch.
+
+    Model dims (vocab/hidden/embedding) are inferred from the .hdf5 itself,
+    so no dataset is needed; pass --dataset-root to decode real words (the
+    published checkpoints pair with the dataset vocabulary)."""
+    import numpy as np
+
+    from .data.images import ImagePreprocessor
+    from .explain.engine import Explainer
+    from .models.captioner import build_captioner
+    from .models.weights_io import infer_h5_dims, load_reference_checkpoint_h5
+
+    dims = infer_h5_dims(args.h5)
+    cfg = _build_config(args).replace(embedding_dim=dims["embedding_dim"],
+                                      hidden_dim=dims["hidden_dim"])
+    if getattr(args, "dataset_root", None):
+        from .data.provider import DatasetProvider
+
+        _, dataset = _build_dataset(args)
+        pp = DatasetProvider(dataset, cfg).caption_preprocessor
+        vocab_size = dims["vocab_size"]
+    else:
+        from types import SimpleNamespace
+
+        vocab_size = dims["vocab_size"]
+        pp = SimpleNamespace(
+            SOS_TOKEN="szeros", EOS_TOKEN="zeros",
+            SOS_TOKEN_LABEL_ENCODED=1, EOS_TOKEN_LABEL_ENCODED=2,
+            word_of={i: f"w{i}" for i in range(1, vocab_size + 1)})
+        pp.word_of[1], pp.word_of[2] = "szeros", "zeros"
+
+    captioner = build_captioner(args.model_type, cfg, vocab_size)
+    params = load_reference_checkpoint_h5(args.h5, args.model_type,
+                                          cfg.img_encoder, cfg.layer_name)
+    size = cfg.image_size or (224, 224)
+    if cfg.img_encoder == "inception_v3" and size == (224, 224):
+        size = (299, 299)
+    ip = ImagePreprocessor(encoder=cfg.img_encoder, image_size=size)
+    img = ip.preprocess_batch_paths([args.image])[0]
+
+    ex = Explainer(captioner, params, pp, method=args.method,
+                   beam_size=args.beam_size, max_len=cfg.sentence_length)
+    e = ex.analyze(img)
+    got = {
+        "tokens_1based": np.asarray(e.tokens_1based),
+        "relevance_maps": np.asarray(e.relevance_maps),
+        "attentions": np.asarray(e.attentions),
+    }
+    print(f"caption: {e.caption}")
+
+    import os
+
+    if args.expect:
+        exp = np.load(os.path.join(args.expect, "parity-expected.npz"))
+        failures = []
+        if not np.array_equal(got["tokens_1based"], exp["tokens_1based"]):
+            failures.append(
+                f"tokens differ: got {got['tokens_1based'].tolist()} "
+                f"expected {exp['tokens_1based'].tolist()}")
+        for key in ("relevance_maps", "attentions"):
+            want = exp[key]
+            if got[key].shape != want.shape:
+                failures.append(f"{key} shape {got[key].shape} != {want.shape}")
+                continue
+            scale = float(np.abs(want).max()) or 1.0
+            dev = float(np.abs(got[key] - want).max()) / scale
+            status = "ok" if dev <= args.tol else "FAIL"
+            print(f"{key}: max dev {dev:.3e} of expectation scale "
+                  f"(tol {args.tol:g}) {status}")
+            if dev > args.tol:
+                failures.append(f"{key} deviates {dev:.3e} > tol {args.tol:g}")
+        if failures:
+            raise SystemExit("PARITY FAIL:\n  " + "\n  ".join(failures))
+        print("PARITY OK")
+    else:
+        out = args.out or (args.h5 + ".parity")
+        os.makedirs(out, exist_ok=True)
+        np.savez(os.path.join(out, "parity-expected.npz"), **got)
+        with open(os.path.join(out, "caption.txt"), "w") as f:
+            f.write(e.caption + "\n")
+        print(f"recorded parity expectation in {out} "
+              f"(re-run with --expect {out} to diff)")
 
 
 def cmd_export_serving(args):
@@ -513,6 +616,24 @@ def main(argv=None):
                    help="serve from an export-serving StableHLO artifact "
                         "instead of building the model")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("parity",
+                       help="published-checkpoint parity: decode+explain one "
+                            "image from a reference .hdf5 and diff against a "
+                            "recorded expectation (MIGRATION.md)")
+    _add_common(p)
+    p.add_argument("--h5", required=True, help="reference Keras .hdf5 checkpoint")
+    p.add_argument("--image", required=True, help="image file to caption+explain")
+    p.add_argument("--expect", default=None,
+                   help="dir with parity-expected.npz to diff against")
+    p.add_argument("--out", default=None,
+                   help="record the expectation here (default <h5>.parity)")
+    p.add_argument("--method", default="lrp")
+    p.add_argument("--beam-size", type=int, default=3)
+    p.add_argument("--tol", type=float, default=1e-3,
+                   help="max allowed map deviation as a fraction of the "
+                        "expectation's scale")
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("export-serving",
                        help="package compiled decode/explain programs as a "

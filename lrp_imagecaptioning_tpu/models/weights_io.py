@@ -365,3 +365,23 @@ def load_reference_checkpoint_h5(path: str, model_type: str, arch: str = "vgg16"
         "vgg": enc,
         "decoder": load_reference_decoder_h5(path, model_type),
     }
+
+
+def infer_h5_dims(path: str) -> dict:
+    """Model dimensions from a reference checkpoint — so ``cli parity`` can
+    run against a published .hdf5 without the user restating the config.
+
+    vocab_size from the ``output`` dense bias (model.py:466: Dense(vocab)),
+    hidden_dim from the ``output`` kernel's input side, embedding_dim from
+    the ``embedding`` table's second axis."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        root = f["model_weights"] if "model_weights" in f else f
+        out = _dense(_layer_weights(root, "output"))
+        emb = _pick(_layer_weights(root, "embedding"), "embedding")
+    return {
+        "vocab_size": int(np.asarray(out["bias"]).shape[0]),
+        "hidden_dim": int(np.asarray(out["kernel"]).shape[0]),
+        "embedding_dim": int(np.asarray(emb).shape[1]),
+    }

@@ -74,13 +74,24 @@ def restore_checkpoint(path: str, params_template, opt_state_template=None):
 
 
 def save_params_npz(path: str, params) -> None:
-    """Flat .npz export (portable, dependency-light alternative)."""
+    """Flat .npz export (portable, dependency-light alternative).
+
+    Lists/tuples are encoded as ``#<index>`` path segments (``#emptylist``
+    marks an empty one) so pytrees like the AOA decoder's ``refine`` block
+    list round-trip STRUCTURALLY — jax.export pins the exact pytree of its
+    arguments, so a list flattened into a bare array would make the exported
+    program unloadable (caught by tests/test_export_serving.py's matrix)."""
     flat = {}
 
     def walk(prefix, tree):
         if isinstance(tree, dict):
             for k, v in tree.items():
                 walk(f"{prefix}/{k}" if prefix else k, v)
+        elif isinstance(tree, (list, tuple)):
+            if len(tree) == 0:
+                flat[f"{prefix}/#emptylist"] = np.zeros(0, np.float32)
+            for i, v in enumerate(tree):
+                walk(f"{prefix}/#{i}", v)
         else:
             flat[prefix] = np.asarray(tree)
 
@@ -90,7 +101,8 @@ def save_params_npz(path: str, params) -> None:
 
 
 def load_params_npz(path: str):
-    """Inverse of save_params_npz -> nested dict of jnp arrays."""
+    """Inverse of save_params_npz -> nested dict (lists restored from the
+    ``#<index>`` encoding) of jnp arrays."""
     import jax.numpy as jnp
 
     out = {}
@@ -101,4 +113,15 @@ def load_params_npz(path: str):
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(f[key])
-    return out
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(k.startswith("#") for k in node):
+            if "#emptylist" in node:
+                return []
+            return [node[f"#{i}"] for i in range(len(node))]
+        return node
+
+    return listify(out)
