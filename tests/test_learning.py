@@ -196,9 +196,17 @@ def test_lrp_finetune_semantic_rehearsal(trained, tmp_path, monkeypatch):
     imgs_eval = jnp.asarray(imgs_eval)
     y_eval = jnp.asarray(y_eval)
 
+    # max_words=4 throughout: the finetune runs the production
+    # --max-explained-words path (first 4 valid words get the 1+score
+    # bonus), which cuts the dominant per-step CNN-backward count 3x on
+    # this 1-core host; the before/after dual-loss probe uses the SAME
+    # capped objective the finetune optimizes
+    MAX_WORDS = 4
+
     def dual_loss_of(p):
         logits = cap.forward_train(p, imgs_eval, x_eval, None)
-        w = lrp_weights(cap, p, imgs_eval, logits, stop_t, sos, eos)
+        w = lrp_weights(cap, p, imgs_eval, logits, stop_t, sos, eos,
+                        max_words=MAX_WORDS)
         return float(dual_loss(logits, w, y_eval)), np.asarray(logits), np.asarray(w)
 
     before_dual, logits_np, w_np = dual_loss_of(params)
@@ -252,8 +260,9 @@ def test_lrp_finetune_semantic_rehearsal(trained, tmp_path, monkeypatch):
         "--set", "rare_words_handling=nothing",
         "--set", "drop_rate=0.0",
         "--weights", "trained.npz",
-        "--chunks", "2", "--epoch-length", "6",
-        "--learning-rate", "1e-4",
+        "--chunks", "2", "--epoch-length", "3",
+        "--learning-rate", "2e-4",
+        "--max-explained-words", str(MAX_WORDS),
         "--out", "ft-out",
     ])
     ckpt = latest_checkpoint("ft-out")
