@@ -217,7 +217,10 @@ class AdaptiveDecoderReenactment:
         ct = np.zeros(HIDDEN, np.float32)
         logits = np.zeros((len(caption_ids), VOCAB), np.float32)
         for t, tok in enumerate(caption_ids):
-            xt = np.concatenate([self.w["embedding"][tok], gif])
+            # caption_ids are 1-based label-encoded tokens (SOS=1); the
+            # embedding table is 0-based — same convention as
+            # forward_beam_search below (w["embedding"][tok - 1])
+            xt = np.concatenate([self.w["embedding"][tok - 1], gif])
             z = xt @ w["lstm/Wi"] + ht @ w["lstm/Wh"] + w["lstm/b"]
             i = sigmoid(z[:HIDDEN])
             f = sigmoid(z[HIDDEN:2 * HIDDEN])

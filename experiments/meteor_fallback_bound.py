@@ -5,7 +5,9 @@ available here, so the fallback's fidelity is quantified against what IS
 measurable:
 
 1. **nltk_max_abs_dev** — per-segment |ours - NLTK meteor_score| over a
-   240-pair perturbation corpus, with NLTK's synonym stage stubbed off so
+   144-segment perturbation corpus (12 bases x 10 perturbations + 24
+   hand-built duplicate/function-word cases), with NLTK's synonym stage
+   stubbed off so
    both sides run identical exact+stem configurations. NLTK is an
    independent third-party implementation of the same published formula;
    agreement to float precision pins our alignment engine and arithmetic.

@@ -442,10 +442,15 @@ def cmd_serve(args):
         # the 1-device artifact itself is never repartitioned)
         devices = args.mesh if getattr(args, "mesh", 0) > 1 else None
         print(f"loading exported artifact {args.exported}...", flush=True)
-        try:
-            svc = ExportedService(args.exported, devices=devices)
-        except ValueError as e:  # e.g. --mesh N > available devices
-            raise SystemExit(f"--mesh {devices}: {e}")
+        if devices is not None:
+            try:
+                svc = ExportedService(args.exported, devices=devices)
+            except ValueError as e:  # e.g. --mesh N > available devices
+                raise SystemExit(f"--mesh {devices}: {e}")
+        else:
+            # no --mesh: let artifact-corruption errors surface with their
+            # real traceback instead of being blamed on a flag
+            svc = ExportedService(args.exported)
         print(f"warmed in {svc.stats.get('warmup_s')}s "
               f"(batch {svc.meta['batch_size']}, beam {svc.meta['beam_size']}, "
               f"devices {svc.stats['devices']})",

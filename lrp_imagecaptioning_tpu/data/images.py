@@ -119,8 +119,11 @@ def apply_affine_transform(x: np.ndarray, theta: float = 0.0, tx: float = 0.0,
     """Keras ``apply_affine_transform`` semantics for HWC arrays
     (differential-pinned against tf_keras in tests/test_augmentation.py).
 
-    ``theta``/``shear`` in degrees; ``tx`` shifts rows, ``ty`` columns (both
-    in pixels); matrices composed rot @ shift @ shear @ zoom, centered at
+    ``theta``/``shear`` in degrees; ``tx`` shifts COLUMNS, ``ty`` ROWS (both
+    in pixels — pinned by tests/test_augmentation.py's hand cases; note
+    Keras's own get_random_transform nevertheless scales tx by the ROW dim,
+    a quirk _random_transform mirrors); matrices composed
+    rot @ shift @ shear @ zoom, centered at
     (dim/2 - 0.5), bilinear sampling with nearest fill — the transform the
     reference's ImageDataGenerator applies during training augmentation
     (preprocessors.py:18-25).

@@ -217,7 +217,8 @@ class METEOR:
     Fallback fidelity (measured, experiments/METEOR_FALLBACK_BOUND.json):
     per-segment scores are differential-pinned to NLTK's independent
     meteor_score (same exact+stem stages, same parameters) to < 1e-12 over
-    a 240-pair perturbation corpus (tests/test_meteor_differential.py), so
+    a 144-segment perturbation corpus (60 cases in the in-tree differential,
+    tests/test_meteor_differential.py), so
     the alignment engine and formula are third-party-verified. The
     remaining jar deviation comes only from the missing synonym/paraphrase
     stages and the jar's en-task parameter tuning; the measured stem-stage
@@ -413,17 +414,17 @@ class BERT:
 
     def _load(self):
         if self._model is None:
-            import torch
             from transformers import AutoModel, AutoTokenizer
 
             self._tok = AutoTokenizer.from_pretrained(self._model_path)
             self._model = AutoModel.from_pretrained(self._model_path)
             self._model.eval()
-            torch.set_grad_enabled(False)
 
     def _embed(self, sentences):
         """-> list of (n_real_tokens, H) unit-norm numpy arrays, special
-        tokens dropped (bert_score strips them before matching)."""
+        tokens dropped (bert_score strips them before matching). Real-token
+        positions come from the attention mask itself, so left- and
+        right-padding tokenizers both work."""
         import numpy as np_
         import torch
 
@@ -433,11 +434,12 @@ class BERT:
             chunk = sentences[i:i + self._batch]
             enc = self._tok(chunk, return_tensors="pt", padding=True,
                             truncation=True)
-            hidden = self._model(**enc, output_hidden_states=True
-                                 ).hidden_states[self._layer]
+            with torch.no_grad():  # scoped: never flips the process-global
+                hidden = self._model(**enc, output_hidden_states=True
+                                     ).hidden_states[self._layer]
             for b in range(len(chunk)):
                 ids = enc["input_ids"][b]
-                keep = [t for t in range(int(enc["attention_mask"][b].sum()))
+                keep = [t for t in enc["attention_mask"][b].nonzero().flatten().tolist()
                         if int(ids[t]) not in special]
                 e = hidden[b, keep].numpy().astype(np_.float64)
                 norm = np_.linalg.norm(e, axis=-1, keepdims=True)
@@ -475,9 +477,12 @@ class BERT:
                 refs.append(r["caption"])
         if not cands:
             return {"BERTScore": 0.0}
-        cand_embs = self._embed(cands)
-        ref_embs = self._embed(refs)
-        f1s = [self.pair_f1(c, r) for c, r in zip(cand_embs, ref_embs)]
+        # embed each UNIQUE sentence once (a hypothesis repeats once per
+        # reference in the flattening above — the transformer forward is the
+        # dominant cost), then map pairs by string
+        uniq = sorted(set(cands) | set(refs))
+        emb = dict(zip(uniq, self._embed(uniq)))
+        f1s = [self.pair_f1(emb[c], emb[r]) for c, r in zip(cands, refs)]
         return {"BERTScore": float(sum(f1s) / len(f1s))}
 
 

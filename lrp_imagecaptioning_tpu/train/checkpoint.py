@@ -76,18 +76,24 @@ def restore_checkpoint(path: str, params_template, opt_state_template=None):
 def save_params_npz(path: str, params) -> None:
     """Flat .npz export (portable, dependency-light alternative).
 
-    Lists/tuples are encoded as ``#<index>`` path segments (``#emptylist``
-    marks an empty one) so pytrees like the AOA decoder's ``refine`` block
-    list round-trip STRUCTURALLY — jax.export pins the exact pytree of its
-    arguments, so a list flattened into a bare array would make the exported
-    program unloadable (caught by tests/test_export_serving.py's matrix)."""
+    Lists/tuples are encoded as ``#<index>`` path segments, with sentinel
+    entries (``#emptylist`` / ``#emptydict`` for empty containers, ``#tuple``
+    to distinguish tuples from lists) so pytrees like the AOA decoder's
+    ``refine`` block list round-trip STRUCTURALLY — jax.export pins the exact
+    pytree of its arguments, so a list flattened into a bare array (or a
+    tuple restored as a list) would make the exported program unloadable
+    (caught by tests/test_export_serving.py's matrix)."""
     flat = {}
 
     def walk(prefix, tree):
         if isinstance(tree, dict):
+            if len(tree) == 0:
+                flat[f"{prefix}/#emptydict"] = np.zeros(0, np.float32)
             for k, v in tree.items():
                 walk(f"{prefix}/{k}" if prefix else k, v)
         elif isinstance(tree, (list, tuple)):
+            if isinstance(tree, tuple):
+                flat[f"{prefix}/#tuple"] = np.zeros(0, np.float32)
             if len(tree) == 0:
                 flat[f"{prefix}/#emptylist"] = np.zeros(0, np.float32)
             for i, v in enumerate(tree):
@@ -118,10 +124,15 @@ def load_params_npz(path: str):
         if not isinstance(node, dict):
             return node
         node = {k: listify(v) for k, v in node.items()}
+        if "#emptydict" in node:
+            return {}
+        is_tuple = node.pop("#tuple", None) is not None
         if node and all(k.startswith("#") for k in node):
-            if "#emptylist" in node:
-                return []
-            return [node[f"#{i}"] for i in range(len(node))]
+            seq = [] if "#emptylist" in node else \
+                [node[f"#{i}"] for i in range(len(node))]
+            return tuple(seq) if is_tuple else seq
+        if is_tuple:  # empty tuple: only the #tuple sentinel was written
+            return ()
         return node
 
     return listify(out)

@@ -112,6 +112,31 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     )
 
 
+def test_npz_roundtrip_preserves_structure(tmp_path):
+    """jax.export pins the EXACT pytree of its arguments, so the npz codec
+    must restore tuples as tuples (not lists) and keep empty containers —
+    a list element that is an empty dict must not shift later indices."""
+    from lrp_imagecaptioning_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+    a = np.arange(3.0, dtype=np.float32)
+    params = {
+        "tup": (a, a * 2),
+        "empty_tup": (),
+        "lst": [a, {}, a * 3],          # empty-dict element mid-list
+        "empty_lst": [],
+        "empty_dict": {},
+        "nested": {"t": ([a], (a,))},
+    }
+    p = str(tmp_path / "w.npz")
+    save_params_npz(p, params)
+    restored = load_params_npz(p)
+    assert jax.tree.structure(params) == jax.tree.structure(restored)
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        params, restored,
+    )
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path):
     from lrp_imagecaptioning_tpu.train.checkpoint import (
         latest_checkpoint,
