@@ -8,9 +8,9 @@ on Keras runs one numpy/CPU decoder backward and one Keras predict per word.
 
 vs_baseline divides by a MEASURED re-enactment of the Keras reference's
 CPU pipeline (experiments/baseline_cpu_reenactment.py, protocol in
-BASELINE.md): 0.007112 img/s measured single-core on this host, multiplied
-by a granted perfect-scaling 16-core allowance => 0.1138 img/s. >1.0 means
-faster than the reference.
+BASELINE.md): 0.017078 img/s measured single-core on an idle host,
+multiplied by a granted perfect-scaling 16-core allowance => 0.2732 img/s.
+>1.0 means faster than the reference.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
 "natural_value", "natural_source"} — natural_value is the length-sorted
@@ -31,12 +31,13 @@ import numpy as np
 # Keras-reference CPU throughput for caption+all-word LRP heatmaps (img/s).
 # MEASURED via experiments/baseline_cpu_reenactment.py (faithful re-enactment
 # of the reference's explain-one-image plan: 58 full-graph beam predicts +
-# per-word numpy decoder-LRP BPTT + reversed-VGG PresetA, T=20): 0.007112
-# img/s single-core on this host (experiments/BASELINE_CPU_MEASURED.json),
-# x16 granted as a PERFECT-SCALING multi-core allowance for a 16-core
-# workstation — generous: the numpy BPTT and the beam loop are sequential
-# Python and would not scale at all. Protocol: BASELINE.md.
-KERAS_CPU_BASELINE_IMG_PER_S = 0.007112 * 16  # = 0.1138
+# per-word numpy decoder-LRP BPTT + reversed-VGG PresetA, T=20): 0.017078
+# img/s single-core on an IDLE host, 3 images, <2% spread
+# (experiments/BASELINE_CPU_MEASURED.json), x16 granted as a PERFECT-SCALING
+# multi-core allowance for a 16-core workstation — generous: the numpy BPTT
+# and the beam loop are sequential Python and would not scale at all.
+# Protocol: BASELINE.md.
+KERAS_CPU_BASELINE_IMG_PER_S = 0.017078 * 16  # = 0.2732
 
 import os as _os
 
