@@ -68,6 +68,30 @@ def test_exported_explain_matches_live(artifact, rng):
         np.testing.assert_allclose(g["betas"], w.betas, rtol=1e-5, atol=1e-7)
 
 
+def test_exported_pipeline_order_with_many_chunks(artifact, rng):
+    """Requests far larger than the in-flight cap (2 per device) must come
+    back complete and in request order through the bounded sliding-window
+    pipeline — 17 images / batch 3 = 6 chunks > cap for both caption()
+    (1-stage window) and explain() (2-stage decode->explain window)."""
+    out, _, _ = artifact
+    exported = ExportedCaptioner(out)
+    images = rng.normal(size=(17, 8, 8, 3)).astype(np.float32)
+
+    got = exported.caption(images)
+    # per-chunk calls have no pipeline: ground truth for content + order
+    want = [c for i in range(0, 17, 3)
+            for c in exported.caption(images[i:i + 3])]
+    assert got == want
+
+    got_e = exported.explain(images)
+    want_e = [e for i in range(0, 17, 3)
+              for e in exported.explain(images[i:i + 3])]
+    assert len(got_e) == 17
+    for g, w in zip(got_e, want_e):
+        assert g["words"] == w["words"]
+        np.testing.assert_array_equal(g["relevance_maps"], w["relevance_maps"])
+
+
 def test_exported_artifact_is_self_contained(artifact):
     """Loading must touch only jax + numpy + the artifact directory: the
     meta carries the tokenizer surface and shapes."""
