@@ -20,8 +20,10 @@ Scorers follow pycocoevalcap semantics exactly:
   + paraphrase data are present (mirroring the reference's presence check,
   metrics.py:62-73); else a Python approximation (exact + Porter-stem
   stages, alpha=.9 beta=3 gamma=.5) that tracks but does not equal the jar.
-* SPICE — spice jar subprocess when present; else 0 with a warning, the same
-  degradation the reference exhibits without its jar.
+* SPICE — spice jar subprocess when present; else a Python approximation
+  (rule-parsed scene-graph tuples, exact SPICE F1 algebra — see
+  ``spice_fallback.py``; the reference produces no SPICE number at all
+  without its jar).
 * BERT  — BERTScore via transformers when a local model is available; else 0
   (zero-egress environments cannot download weights).
 
@@ -338,14 +340,19 @@ class METEOR:
 
 class SPICE:
     """SPICE: jar subprocess when a spice jar is present (pycocoevalcap
-    spice.py protocol — input/output json files), else 0 with a warning, the
-    same degradation the reference exhibits without its jar
-    (metrics.py:62-73)."""
+    spice.py protocol — input/output json files), else a Python
+    approximation — rule-parsed scene-graph tuples scored with the exact
+    SPICE F1 algebra (``evalx.spice_fallback``; the reference without its
+    jar produces no SPICE number at all, metrics.py:62-73).
+
+    Pass ``fallback=False`` for the reference's literal jarless behaviour
+    (0 with a warning)."""
 
     _warned = False
 
-    def __init__(self, jar: str | None = None):
+    def __init__(self, jar: str | None = None, fallback: bool = True):
         self._jar = jar if jar is not None else _find_jar("LRPIC_SPICE_JAR", "spice-1.0.jar")
+        self._fallback = fallback
 
     def calculate(self, id_to_prediction, id_to_references):
         if self._jar is not None:
@@ -354,10 +361,24 @@ class SPICE:
             except Exception as e:  # pragma: no cover - jar env only
                 warnings.warn(f"SPICE jar failed ({e}); returning 0")
                 return {"SPICE": 0.0}
+        if not self._fallback:
+            if not SPICE._warned:
+                warnings.warn("SPICE requires the external Java scene-graph parser; returning 0.")
+                SPICE._warned = True
+            return {"SPICE": 0.0}
         if not SPICE._warned:
-            warnings.warn("SPICE requires the external Java scene-graph parser; returning 0.")
+            warnings.warn(
+                "SPICE jar not found; using the Python scene-graph "
+                "approximation (exact tuple-F1 algebra over a rule-parsed "
+                "graph — see evalx/spice_fallback.py for the deviation "
+                "surface)."
+            )
             SPICE._warned = True
-        return {"SPICE": 0.0}
+        from .spice_fallback import spice_f1
+
+        hyps, refs = _pairs(id_to_prediction, id_to_references)
+        scores = [spice_f1(h, rs) for h, rs in zip(hyps, refs)]
+        return {"SPICE": sum(scores) / max(len(scores), 1)}
 
     def _calculate_jar(self, id_to_prediction, id_to_references):  # pragma: no cover - jar env only
         keys = sorted(id_to_prediction)

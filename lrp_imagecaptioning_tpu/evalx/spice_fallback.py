@@ -1,0 +1,554 @@
+"""Python SPICE approximation: rule-parsed scene-graph tuple F1.
+
+The reference scores SPICE by shelling out to the SPICE jar — a Stanford
+CoreNLP dependency parse turned into a scene graph (objects, attributes,
+relations), scored as an F1 over the tuple sets (pycocoevalcap/spice;
+Anderson et al., ECCV 2016). Without the jar the reference simply cannot
+produce a SPICE number; this module gives the jarless environment an HONEST
+APPROXIMATION instead of a hard 0, the same policy as the METEOR fallback
+in ``evalx.metrics``.
+
+What is exact here (SPICE-paper semantics, Anderson et al. §3):
+
+* the tuple algebra — every object ``(o)``, attribute ``(o, a)`` and
+  relation ``(o1, r, o2)`` of the parsed graph becomes one tuple;
+* reference merging — the tuple sets of all reference captions are UNIONED
+  into one graph before matching (§3.1);
+* the score — set precision/recall over (deduplicated) tuples,
+  ``F1 = 2PR/(P+R)`` per image, corpus value = mean of per-image F1
+  (pycocoevalcap spice.py averages each image's ``All.f``).
+
+What is approximated:
+
+* the parser. The jar runs a full dependency parse; this module runs a
+  caption-domain rule grammar over PTB tokens (closed-class lexicons for
+  determiners/prepositions/copulas, a generated inflection table for ~120
+  common caption verbs, morphology for the rest). Caption English is
+  overwhelmingly ``NP (VERB) (PREP) NP ...`` chains, which the grammar
+  covers, including: pre-head modifier runs ("young girl", "tennis court"),
+  modifier coordination ("black and white dog"), subject coordination with
+  relation distribution ("a man and a woman riding horses"), numeric
+  modifiers as attributes ("two dogs" -> (dog, 2), the jar's convention),
+  predicative copulas ("the bench is wooden"), relative clauses
+  ("a dog that is running" -> (dog, run)), intransitive verb + preposition
+  ("standing on top of X" -> (subj, stand) attribute + (subj, on top of, X)
+  relation, the paper's Figure 2 decomposition), and transitive verbs
+  ("riding a horse" -> (subj, ride, horse)).
+* matching. The jar matches tuple elements by lemma OR WordNet synset
+  overlap; no WordNet data ships in this environment, so matching is by
+  lemma with a small curated table of caption-domain WordNet synonym pairs
+  (bike~bicycle, kid~child, ...). Everything is lemmatized (plural
+  irregulars, inflection-table verb lemmas) before comparison.
+
+Deviations are therefore one-sided and parser-shaped: a construction the
+grammar misreads changes that image's tuple set, while the scoring on top
+of the tuple sets is exact. ``tests/test_spice.py`` pins the parser on
+hand-derived scene graphs (including the SPICE paper's own example) and the
+scorer on hand-computed F1s.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+# ------------------------------------------------------------- lexicons
+
+DETERMINERS = frozenset(
+    "a an the this that these those some many several few each every all both "
+    "no another other more most his her its their our my your".split()
+)
+
+# multi-word prepositions are merged before parsing, longest first
+MULTI_PREPS = [
+    ("on", "top", "of"),
+    ("in", "front", "of"),
+    ("next", "to"),
+    ("close", "to"),
+    ("out", "of"),
+    ("off", "of"),
+]
+
+PREPOSITIONS = frozenset(
+    "in on at by with near under over above below behind beside between "
+    "against across along around atop inside outside onto into through "
+    "towards toward up down off upon beneath underneath amid among past "
+    "beyond during for from of to".split()
+) | frozenset(" ".join(p) for p in MULTI_PREPS)
+
+COPULAS = frozenset("is are was were be being been am".split())
+
+CONJUNCTIONS = frozenset(["and", "or", ","])
+
+# words the grammar skips entirely (pronoun subjects are rare in captions
+# and carry no scene content; negation/adverbs do not form tuples)
+SKIP = frozenset(
+    "there it he she they them him who whom which while as not n't very "
+    "really quite just also then so too".split()
+)
+
+# animate caption subjects (lemma forms): used to attach participles to the
+# clause subject across an intervening prepositional phrase
+PERSON_NOUNS = frozenset(
+    "man woman boy girl child person lady guy player worker rider surfer "
+    "skier skateboarder snowboarder couple group crowd team family baby "
+    "toddler teenager dog cat people men women".split()
+)
+
+NUMBER_WORDS = {
+    "one": "1", "two": "2", "three": "3", "four": "4", "five": "5",
+    "six": "6", "seven": "7", "eight": "8", "nine": "9", "ten": "10",
+    "eleven": "11", "twelve": "12",
+}
+
+# base forms of common caption verbs; inflections are generated below
+VERB_BASES = """
+sit stand run walk jump play hold wear ride eat drink look watch fly swim
+sleep lay lie hang carry catch throw kick hit drive pull push climb read
+talk smile laugh wait perform dance sing cook cut feed pose lean rest graze
+surf ski skate sail race chase bite lick sniff point reach touch cross pass
+serve swing slide dive splash park cover fill top attach decorate paint
+write type surround fence stack pile load land take make use work help
+prepare display show gather travel move stop turn bend kneel crouch squat
+stretch balance grab lift wave shake open close stare gaze glance smell
+listen speak shout yell cheer clap celebrate compete practice train exercise
+pitch bat dribble shoot score tackle dunk serve volley putt bowl fish hunt
+herd plow mow dig plant pick harvest brush groom pet cuddle hug kiss
+""".split()
+
+_IRREGULAR_VERB_FORMS = {
+    "sat": "sit", "sitting": "sit", "stood": "stand", "ran": "run",
+    "running": "run", "ate": "eat", "eaten": "eat", "drank": "drink",
+    "drunk": "drink", "flew": "fly", "flown": "fly", "flies": "fly",
+    "swam": "swim", "swimming": "swim", "swum": "swim", "slept": "sleep",
+    "hung": "hang", "caught": "catch", "threw": "throw", "thrown": "throw",
+    "drove": "drive", "driven": "drive", "hitting": "hit", "wore": "wear",
+    "worn": "wear", "rode": "ride", "ridden": "ride", "held": "hold",
+    "lying": "lie", "laid": "lay", "took": "take", "taken": "take",
+    "made": "make", "cutting": "cut", "putting": "put", "put": "put",
+    "getting": "get", "got": "get", "jogging": "jog", "shot": "shoot",
+    "dug": "dig", "spoke": "speak", "spoken": "speak", "shook": "shake",
+    "shaken": "shake",
+}
+
+_VOWELS = set("aeiou")
+
+
+def _inflections(base: str) -> list[str]:
+    """Regular -s/-es/-ed/-ing forms of a verb base."""
+    forms = []
+    if base.endswith(("s", "x", "z", "ch", "sh")):
+        forms.append(base + "es")
+    elif base.endswith("y") and base[-2] not in _VOWELS:
+        forms.append(base[:-1] + "ies")
+        forms.append(base[:-1] + "ied")
+    else:
+        forms.append(base + "s")
+    if base.endswith("e"):
+        forms.append(base + "d")
+        forms.append(base[:-1] + "ing")
+    else:
+        forms.append(base + "ed")
+        forms.append(base + "ing")
+        # consonant doubling (CVC, not w/x/y): pat -> patted/patting
+        if (
+            len(base) >= 3
+            and base[-1] not in _VOWELS | set("wxy")
+            and base[-2] in _VOWELS
+            and base[-3] not in _VOWELS
+        ):
+            forms.append(base + base[-1] + "ed")
+            forms.append(base + base[-1] + "ing")
+    return forms
+
+
+def _build_verb_lemmas() -> dict:
+    table = {}
+    for base in VERB_BASES:
+        table[base] = base
+        for form in _inflections(base):
+            table.setdefault(form, base)
+    table.update(_IRREGULAR_VERB_FORMS)
+    return table
+
+
+VERB_LEMMA = _build_verb_lemmas()
+
+_IRREGULAR_PLURALS = {
+    "men": "man", "women": "woman", "children": "child", "people": "person",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "mice": "mouse",
+    "sheep": "sheep", "deer": "deer", "fish": "fish", "leaves": "leaf",
+    "shelves": "shelf", "knives": "knife", "wolves": "wolf",
+    "scissors": "scissors", "glasses": "glasses", "pants": "pants",
+    "shorts": "shorts", "jeans": "jeans", "stairs": "stairs",
+    "buses": "bus", "lenses": "lens",
+}
+
+
+def _looks_plural(word: str) -> bool:
+    return word in _IRREGULAR_PLURALS or (
+        word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3
+    )
+
+# curated caption-domain WordNet synonym pairs (the jar's synset matching,
+# reduced to the handful of high-frequency caption equivalences; every pair
+# shares a WordNet synset)
+SYNONYM_GROUPS = [
+    ("bike", "bicycle"),
+    ("kid", "child"),
+    ("photo", "photograph"),
+    ("picture", "image"),
+    ("sofa", "couch"),
+    ("tv", "television"),
+    ("sidewalk", "pavement"),
+    ("cab", "taxi"),
+    ("rock", "stone"),
+    ("street", "road"),
+    ("large", "big"),
+    ("small", "little"),
+]
+
+_SYNONYM_CANON = {}
+for _group in SYNONYM_GROUPS:
+    for _w in _group:
+        _SYNONYM_CANON[_w] = _group[0]
+
+
+def noun_lemma(word: str) -> str:
+    if word in _IRREGULAR_PLURALS:
+        return _IRREGULAR_PLURALS[word]
+    if word in VERB_LEMMA and word.endswith("ing"):
+        # gerund used nominally keeps its verb lemma ("skiing" etc.)
+        return VERB_LEMMA[word]
+    if word.endswith("ies") and len(word) > 4:
+        return word[:-3] + "y"
+    if word.endswith(("sses", "xes", "zes", "ches", "shes")) and len(word) > 4:
+        return word[:-2]
+    # NOTE: plain "-ses" strips only the final s (horses/houses/noses; the
+    # rarer bus/lens class is covered by irregulars)
+    if word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3:
+        return word[:-1]
+    return word
+
+
+def canonical(lemma: str) -> str:
+    """Map a lemma through the synonym table (the matching equivalence)."""
+    return _SYNONYM_CANON.get(lemma, lemma)
+
+
+# ------------------------------------------------------------- parsing
+
+
+def _merge_multiword_preps(tokens: list) -> list:
+    out = []
+    i = 0
+    while i < len(tokens):
+        for phrase in MULTI_PREPS:
+            n = len(phrase)
+            if tuple(tokens[i : i + n]) == phrase:
+                out.append(" ".join(phrase))
+                i += n
+                break
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def _is_verb(word: str) -> bool:
+    if word in VERB_LEMMA:
+        return True
+    # unknown -ing forms are verbs/participles in caption position
+    return word.endswith("ing") and len(word) > 4
+
+
+def _verb_lemma(word: str) -> str:
+    if word in VERB_LEMMA:
+        return VERB_LEMMA[word]
+    stem = word[:-3]
+    if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+        return stem[:-1]  # hugging -> hug
+    return stem
+
+
+def parse_tuples(tokens: list) -> set:
+    """Parse one PTB-tokenized caption into its scene-graph tuple set.
+
+    Tuples are ``(obj,)``, ``(obj, attr)`` and ``(subj, rel, obj)`` with all
+    elements lemmatized. See the module docstring for the grammar.
+    """
+    toks = _merge_multiword_preps([t.lower() for t in tokens if t.isalnum() or " " in t or t == ","])
+    tuples = OrderedDict()  # ordered set
+
+    def add(tup):
+        tuples[tup] = None
+
+    subjects: list = []  # heads of the most recent completed NP(s)
+    clause_subjects: list = []  # heads of the caption's FIRST NP
+    pending_verb: str | None = None
+    pending_prep: str | None = None
+    after_copula = False
+    det_before = False  # a determiner immediately precedes the cursor
+
+    def actors():
+        """Verb attachment: captions hang participles off the clause
+        subject when it is animate ("a man in a white shirt HOLDING a bat"
+        -> man), off the nearest NP otherwise ("a plate with a fork RESTING
+        on it" -> fork)."""
+        if clause_subjects and any(s in PERSON_NOUNS for s in clause_subjects):
+            return clause_subjects
+        return subjects
+
+    i = 0
+    n = len(toks)
+    while i < n:
+        w = toks[i]
+        if w in DETERMINERS:
+            det_before = True
+            i += 1
+            continue
+        if w in SKIP or w in CONJUNCTIONS:
+            det_before = False
+            i += 1
+            continue
+        if w in COPULAS:
+            after_copula = True
+            det_before = False
+            i += 1
+            continue
+        if w in PREPOSITIONS:
+            pending_prep = w
+            det_before = False
+            i += 1
+            continue
+        if _is_verb(w) and not _np_starts_here(toks, i, w):
+            lemma = _verb_lemma(w)
+            nxt = _next_content(toks, i + 1)
+            if nxt is None or nxt in PREPOSITIONS or nxt in COPULAS or nxt in CONJUNCTIONS or nxt in SKIP:
+                # no direct object: the verb becomes an attribute of its
+                # subject(s) and a following prep carries the relation
+                # (the paper's "(girl, standing) + (girl, on-top-of, court)"
+                # decomposition)
+                for s in actors():
+                    add((s, lemma))
+                if nxt in PREPOSITIONS:
+                    subjects = actors()
+            else:
+                pending_verb = lemma
+            after_copula = False
+            det_before = False
+            i += 1
+            continue
+
+        # here: a content word — start of an NP (modifier* head) or a
+        # predicative adjective after a copula
+        was_after_det = det_before
+        det_before = False
+        np_words, i = _consume_np(toks, i)
+        if not np_words:
+            i += 1
+            continue
+        if after_copula and not was_after_det and len(np_words) == 1:
+            # "the bench is wooden" -> predicative attribute ("is running"
+            # was already handled by the verb branch; "is a table" arrives
+            # with a preceding determiner and parses as an object NP)
+            for s in subjects:
+                add((s, _attr_lemma(np_words[0])))
+            after_copula = False
+            continue
+        after_copula = False
+
+        groups = _np_heads_attrs(np_words)
+        heads = [h for h, _ in groups]
+        for h, attrs in groups:
+            add((h,))
+            for a in attrs:
+                add((h, a))
+        if pending_verb is not None:
+            # transitive verbs act for the clause subject(s): "a man in a
+            # white shirt HOLDING a bat" -> (man, hold, bat)
+            rel = pending_verb + (" " + pending_prep if pending_prep else "")
+            for s in actors():
+                for h in heads:
+                    add((s, rel, h))
+        elif pending_prep is not None:
+            for s in subjects:
+                for h in heads:
+                    add((s, pending_prep, h))
+        pending_verb = pending_prep = None
+        subjects = heads
+        if not clause_subjects:
+            clause_subjects = heads
+    # trailing verb with no object: "a dog running" at caption end was
+    # handled in the loop; nothing to flush
+    return set(tuples)
+
+
+def _next_content(toks, i):
+    """Next token that is not a determiner/skip word, else None."""
+    while i < len(toks):
+        if toks[i] not in DETERMINERS and toks[i] not in SKIP:
+            return toks[i]
+        i += 1
+    return None
+
+
+def _np_starts_here(toks, i, w):
+    """A known-verb form can still head an NP ("a running dog" modifier or
+    the gerund-subject "skiing is fun"); treat a verb form as NP content
+    only when it is caption-initial with no subject yet or directly follows
+    a determiner (so "a standing man" keeps standing as a modifier)."""
+    if i == 0:
+        return not w.endswith("ing") or _next_is_content_noun(toks, i + 1)
+    prev = toks[i - 1]
+    if prev in DETERMINERS:
+        # determiner directly before: part of an NP ("a running dog");
+        # but "a dog is running" never reaches here with prev==DET
+        return True
+    if (
+        prev in PREPOSITIONS
+        and w.endswith("ing")
+        and i + 1 < len(toks)
+        and toks[i + 1] not in DETERMINERS
+        and _next_is_content_noun(toks, i + 1)
+    ):
+        return True  # "by running water" — bare participle modifier
+    return False
+
+
+def _next_is_content_noun(toks, i):
+    if i >= len(toks):
+        return False
+    w = toks[i]
+    return (
+        w not in DETERMINERS and w not in PREPOSITIONS and w not in COPULAS
+        and w not in CONJUNCTIONS and w not in SKIP and not _is_verb(w)
+    )
+
+
+def _consume_np(toks, i):
+    """Collect the modifier*/head run starting at i, handling modifier and
+    head coordination with "and"/commas. Stops at preps, copulas, known
+    verb forms (unless NP-initial after a determiner), and skip words.
+    Returns (words, next_index); coordination commas/and are kept as
+    markers."""
+    words = []
+    n = len(toks)
+    while i < n:
+        w = toks[i]
+        if w in CONJUNCTIONS:
+            # include coordination only if another NP follows (allowing the
+            # conjunct its own determiner: "a man and a woman")
+            j = i + 1
+            if j < n and toks[j] in DETERMINERS:
+                j += 1
+            if words and j < n and _next_is_content_noun(toks, j):
+                words.append("&")
+                i += 1
+                continue
+            break
+        if (
+            w in DETERMINERS
+            and words
+            and words[-1] == "&"
+        ):
+            # "a man and a woman": the conjunct's own determiner marks HEAD
+            # coordination (vs "black and white dog" modifier coordination)
+            words[-1] = "&&"
+            i += 1
+            continue
+        if w in PREPOSITIONS or w in COPULAS or w in SKIP or w in DETERMINERS:
+            break
+        if _is_verb(w) and words and words[-1] not in ("&", "&&"):
+            # "a dog running" — an INFLECTED verb form ends the NP. A bare
+            # base form is only a verb after a plural ("two men hold
+            # umbrellas"); after a singular modifier it is a noun head
+            # ("a baseball bat", "a park bench")
+            pending = [x for x in words if x not in ("&", "&&")]
+            headless = all(x in NUMBER_WORDS or x.isdigit() for x in pending)
+            if headless:
+                pass  # "two drinks" — the NP still needs its head noun
+            elif w not in VERB_BASES or _looks_plural(words[-1]):
+                break
+        if not (w.isalnum() or " " in w):
+            break
+        words.append(w)
+        i += 1
+    while words and words[-1] in ("&", "&&"):
+        words.pop()
+    return words, i
+
+
+def _np_heads_attrs(np_words):
+    """Split an NP word run into ``[(head, [attrs]), ...]`` groups.
+
+    "black & white dog"    -> [(dog, [black, white])]
+    "man && woman"         -> [(man, []), (woman, [])]
+    "glasses && red hat"   -> [(glasses, []), (hat, [red])]
+    "young girl"           -> [(girl, [young])]
+    "two dogs"             -> [(dog, [2])]
+
+    "&&" (the conjunct carried its own determiner) forces head
+    coordination; a bare "&" run is modifier coordination when every
+    earlier conjunct is a single word and the final one carries the head
+    ("black and white dog"), head coordination otherwise ("a man and dog").
+    """
+    groups = [[]]
+    det_marked = False
+    for w in np_words:
+        if w in ("&", "&&"):
+            det_marked = det_marked or w == "&&"
+            groups.append([])
+        else:
+            groups[-1].append(w)
+    groups = [g for g in groups if g]
+    if not groups:
+        return []
+    if len(groups) == 1:
+        run = groups[0]
+        return [(noun_lemma(run[-1]), [_attr_lemma(w) for w in run[:-1]])]
+    last = groups[-1]
+    if not det_marked and len(last) > 1 and all(len(g) == 1 for g in groups[:-1]):
+        # "black and white dog": earlier single-word conjuncts + the last
+        # conjunct's modifiers are all attributes of the one head
+        attrs = [_attr_lemma(g[0]) for g in groups[:-1]]
+        attrs += [_attr_lemma(w) for w in last[:-1]]
+        return [(noun_lemma(last[-1]), attrs)]
+    # head coordination: each conjunct parses alone
+    return [
+        (noun_lemma(g[-1]), [_attr_lemma(w) for w in g[:-1]]) for g in groups
+    ]
+
+
+def _attr_lemma(word):
+    if word in NUMBER_WORDS:
+        return NUMBER_WORDS[word]
+    if word.isdigit():
+        return word
+    if _is_verb(word):
+        return _verb_lemma(word)
+    return noun_lemma(word)
+
+
+# ------------------------------------------------------------- scoring
+
+
+def _canon_tuple(tup):
+    return tuple(canonical(x) for x in tup)
+
+
+def spice_f1(cand_tokens: list, refs_tokens: list) -> float:
+    """Per-image SPICE: F1 over the candidate tuple set vs the UNION of the
+    reference captions' tuple sets (Anderson et al. §3.1), synonym-canonical
+    matching."""
+    cand = {_canon_tuple(t) for t in parse_tuples(cand_tokens)}
+    ref: set = set()
+    for r in refs_tokens:
+        ref |= {_canon_tuple(t) for t in parse_tuples(r)}
+    if not cand or not ref:
+        return 0.0
+    inter = len(cand & ref)
+    p = inter / len(cand)
+    r = inter / len(ref)
+    if p + r == 0:
+        return 0.0
+    return 2 * p * r / (p + r)
