@@ -35,7 +35,6 @@ import random
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
 from lrp_imagecaptioning_tpu.evalx.metrics import METEOR  # noqa: E402
 

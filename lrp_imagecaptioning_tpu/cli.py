@@ -288,6 +288,38 @@ def _load_params(captioner, args):
     return params
 
 
+def parity_diff(got: dict, exp, tol: float) -> list:
+    """Compare a freshly-computed parity record against a stored one.
+
+    Returns a list of human-readable failure strings (empty = parity OK)
+    and prints per-array deviation lines. Zero-word records (immediate EOS
+    decode — the very failure mode the harness exists to diagnose) compare
+    by shape alone instead of tripping numpy's empty-reduction error."""
+    import numpy as np
+
+    failures = []
+    if not np.array_equal(got["tokens_1based"], exp["tokens_1based"]):
+        failures.append(
+            f"tokens differ: got {np.asarray(got['tokens_1based']).tolist()} "
+            f"expected {np.asarray(exp['tokens_1based']).tolist()}")
+    for key in ("relevance_maps", "attentions"):
+        want = exp[key]
+        if got[key].shape != want.shape:
+            failures.append(f"{key} shape {got[key].shape} != {want.shape}")
+            continue
+        if want.size == 0:
+            dev = 0.0
+        else:
+            scale = float(np.abs(want).max()) or 1.0
+            dev = float(np.abs(got[key] - want).max()) / scale
+        status = "ok" if dev <= tol else "FAIL"
+        print(f"{key}: max dev {dev:.3e} of expectation scale "
+              f"(tol {tol:g}) {status}")
+        if dev > tol:
+            failures.append(f"{key} deviates {dev:.3e} > tol {tol:g}")
+    return failures
+
+
 def cmd_parity(args):
     """Published-checkpoint parity harness (MIGRATION.md: the FIRST action
     when reference weights become available). Loads a reference Keras .hdf5
@@ -329,10 +361,9 @@ def cmd_parity(args):
     captioner = build_captioner(args.model_type, cfg, vocab_size)
     params = load_reference_checkpoint_h5(args.h5, args.model_type,
                                           cfg.img_encoder, cfg.layer_name)
-    size = cfg.image_size or (224, 224)
-    if cfg.img_encoder == "inception_v3" and size == (224, 224):
-        size = (299, 299)
-    ip = ImagePreprocessor(encoder=cfg.img_encoder, image_size=size)
+    # image_size=None resolves to the per-encoder default (299 for
+    # inception, 224 otherwise) inside ImagePreprocessor — one policy site
+    ip = ImagePreprocessor(encoder=cfg.img_encoder, image_size=cfg.image_size)
     img = ip.preprocess_batch_paths([args.image])[0]
 
     ex = Explainer(captioner, params, pp, method=args.method,
@@ -349,23 +380,7 @@ def cmd_parity(args):
 
     if args.expect:
         exp = np.load(os.path.join(args.expect, "parity-expected.npz"))
-        failures = []
-        if not np.array_equal(got["tokens_1based"], exp["tokens_1based"]):
-            failures.append(
-                f"tokens differ: got {got['tokens_1based'].tolist()} "
-                f"expected {exp['tokens_1based'].tolist()}")
-        for key in ("relevance_maps", "attentions"):
-            want = exp[key]
-            if got[key].shape != want.shape:
-                failures.append(f"{key} shape {got[key].shape} != {want.shape}")
-                continue
-            scale = float(np.abs(want).max()) or 1.0
-            dev = float(np.abs(got[key] - want).max()) / scale
-            status = "ok" if dev <= args.tol else "FAIL"
-            print(f"{key}: max dev {dev:.3e} of expectation scale "
-                  f"(tol {args.tol:g}) {status}")
-            if dev > args.tol:
-                failures.append(f"{key} deviates {dev:.3e} > tol {args.tol:g}")
+        failures = parity_diff(got, exp, args.tol)
         if failures:
             raise SystemExit("PARITY FAIL:\n  " + "\n  ".join(failures))
         print("PARITY OK")
@@ -441,16 +456,19 @@ def cmd_serve(args):
         # chunks round-robined over the first N devices (data-parallel;
         # the 1-device artifact itself is never repartitioned)
         devices = args.mesh if getattr(args, "mesh", 0) > 1 else None
-        print(f"loading exported artifact {args.exported}...", flush=True)
         if devices is not None:
-            try:
-                svc = ExportedService(args.exported, devices=devices)
-            except ValueError as e:  # e.g. --mesh N > available devices
-                raise SystemExit(f"--mesh {devices}: {e}")
-        else:
-            # no --mesh: let artifact-corruption errors surface with their
-            # real traceback instead of being blamed on a flag
-            svc = ExportedService(args.exported)
+            import jax
+
+            avail = len(jax.devices())
+            if devices > avail:
+                # validate the flag up front so artifact-corruption errors
+                # below surface with their real traceback instead of being
+                # blamed on --mesh
+                raise SystemExit(
+                    f"--mesh {devices}: devices={devices} but only "
+                    f"{avail} available")
+        print(f"loading exported artifact {args.exported}...", flush=True)
+        svc = ExportedService(args.exported, devices=devices)
         print(f"warmed in {svc.stats.get('warmup_s')}s "
               f"(batch {svc.meta['batch_size']}, beam {svc.meta['beam_size']}, "
               f"devices {svc.stats['devices']})",

@@ -348,7 +348,10 @@ class SPICE:
     Pass ``fallback=False`` for the reference's literal jarless behaviour
     (0 with a warning)."""
 
-    _warned = False
+    # per-mode once-only warning flags (a process can legitimately use both
+    # modes; each mode's distinct warning must fire on ITS first use)
+    _warned_literal = False
+    _warned_fallback = False
 
     def __init__(self, jar: str | None = None, fallback: bool = True):
         self._jar = jar if jar is not None else _find_jar("LRPIC_SPICE_JAR", "spice-1.0.jar")
@@ -362,18 +365,18 @@ class SPICE:
                 warnings.warn(f"SPICE jar failed ({e}); returning 0")
                 return {"SPICE": 0.0}
         if not self._fallback:
-            if not SPICE._warned:
+            if not SPICE._warned_literal:
                 warnings.warn("SPICE requires the external Java scene-graph parser; returning 0.")
-                SPICE._warned = True
+                SPICE._warned_literal = True
             return {"SPICE": 0.0}
-        if not SPICE._warned:
+        if not SPICE._warned_fallback:
             warnings.warn(
                 "SPICE jar not found; using the Python scene-graph "
                 "approximation (exact tuple-F1 algebra over a rule-parsed "
                 "graph — see evalx/spice_fallback.py for the deviation "
                 "surface)."
             )
-            SPICE._warned = True
+            SPICE._warned_fallback = True
         from .spice_fallback import spice_f1
 
         hyps, refs = _pairs(id_to_prediction, id_to_references)
@@ -501,9 +504,16 @@ class BERT:
         # embed each UNIQUE sentence once (a hypothesis repeats once per
         # reference in the flattening above — the transformer forward is the
         # dominant cost), then map pairs by string
-        uniq = sorted(set(cands) | set(refs))
-        emb = dict(zip(uniq, self._embed(uniq)))
-        f1s = [self.pair_f1(emb[c], emb[r]) for c, r in zip(cands, refs)]
+        try:
+            uniq = sorted(set(cands) | set(refs))
+            emb = dict(zip(uniq, self._embed(uniq)))
+            f1s = [self.pair_f1(emb[c], emb[r]) for c, r in zip(cands, refs)]
+        except Exception as e:
+            # degrade instead of killing the whole evaluation (the other
+            # metrics' results are already computed by the caller): e.g. a
+            # local model whose tokenizer cannot pad
+            warnings.warn(f"BERTScore scoring failed ({e}); returning 0")
+            return {"BERTScore": 0.0}
         return {"BERTScore": float(sum(f1s) / len(f1s))}
 
 

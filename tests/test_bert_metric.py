@@ -108,3 +108,18 @@ def test_bert_special_tokens_excluded(tiny_bert):
     e = b._embed(["cat"])[0]
     assert e.shape[0] == 1
     assert np.linalg.norm(e[0]) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_bert_scoring_failure_degrades_to_zero(tiny_bert, monkeypatch):
+    """A model that loads but cannot score (e.g. a tokenizer with no pad
+    token) must degrade to 0 with a warning, not kill the evaluation the
+    caller has already half-computed."""
+    b = BERT(model_path=tiny_bert)
+
+    def boom(sentences):
+        raise ValueError("Asking to pad but the tokenizer does not have a padding token")
+
+    monkeypatch.setattr(b, "_embed", boom)
+    with pytest.warns(UserWarning, match="scoring failed"):
+        out = b.calculate(*_corpus([("the cat runs", ["a cat"])]))
+    assert out == {"BERTScore": 0.0}

@@ -374,3 +374,16 @@ def test_export_matrix_caption_and_explain(case, rng, tmp_path):
             assert json.load(r)["captions"] == caps
     finally:
         srv.stop()
+
+
+def test_serve_exported_mesh_overflow_exits_cleanly(artifact):
+    """serve --exported --mesh N with N > available devices must exit with
+    the clean flag-attributed message BEFORE touching the artifact — and
+    artifact corruption must NOT be blamed on --mesh (it surfaces with its
+    real traceback)."""
+    from lrp_imagecaptioning_tpu import cli
+
+    out, _, _ = artifact
+    with pytest.raises(SystemExit) as ei:
+        cli.main(["serve", "--exported", out, "--mesh", "999"])
+    assert "--mesh 999" in str(ei.value) and "only" in str(ei.value)

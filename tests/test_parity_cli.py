@@ -90,3 +90,19 @@ def test_parity_detects_mismatch(tmp_path, capsys):
                   "--h5", h5_b, "--image", img, "--beam-size", "2",
                   "--expect", expect])
     assert "PARITY FAIL" in str(ei.value)
+
+
+def test_parity_diff_zero_word_record():
+    """A recorded expectation with ZERO explained words (immediate-EOS
+    decode — the exact degenerate case a weight-import bug produces) must
+    compare by shape instead of crashing numpy's empty reduction."""
+    empty = {
+        "tokens_1based": np.zeros((0,), np.int32),
+        "relevance_maps": np.zeros((0, 8, 8, 3), np.float32),
+        "attentions": np.zeros((0, 4, 4), np.float32),
+    }
+    assert cli.parity_diff(empty, dict(empty), tol=1e-4) == []
+    # and a shape mismatch against the empty record still fails loudly
+    got = dict(empty, relevance_maps=np.zeros((2, 8, 8, 3), np.float32))
+    fails = cli.parity_diff(got, dict(empty), tol=1e-4)
+    assert any("relevance_maps shape" in f for f in fails)
