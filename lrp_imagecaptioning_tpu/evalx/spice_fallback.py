@@ -45,6 +45,16 @@ grammar misreads changes that image's tuple set, while the scoring on top
 of the tuple sets is exact. ``tests/test_spice.py`` pins the parser on
 hand-derived scene graphs (including the SPICE paper's own example) and the
 scorer on hand-computed F1s.
+
+MEASURED deviation surface (experiments/spice_parser_coverage.py, artifact
+SPICE_PARSER_COVERAGE.json): against a 40-caption gold corpus hand-derived
+from the paper's rules — 10 captions deliberately drawn from UNMODELED
+constructions (passives, possessives, comparatives, apposition, existential
+"there", control verbs) — the parser reaches tuple micro-F1 0.915 (all 30
+core-grammar captions parse to their exact gold graphs; the unmodeled
+constructions account for every miss), and the induced SPICE-score
+deviation under a deviation-maximizing low-overlap pairing is mean 0.009 /
+max 0.18 per image.
 """
 
 from __future__ import annotations

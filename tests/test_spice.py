@@ -186,3 +186,32 @@ def test_spice_adapter_reference_literal_mode():
         warnings.simplefilter("ignore")
         out = SPICE(jar=None, fallback=False).calculate(preds, refs)
     assert out == {"SPICE": 0.0}
+
+
+def test_gold_corpus_coverage_pinned():
+    """The 40-caption gold corpus (experiments/spice_parser_coverage.py):
+    every CORE construction must parse to its exact hand-derived graph, and
+    overall tuple micro-F1 (hard constructions included) must not regress
+    below the recorded 0.91."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spice_parser_coverage",
+        os.path.join(os.path.dirname(__file__), "..", "experiments",
+                     "spice_parser_coverage.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from lrp_imagecaptioning_tpu.evalx.spice_fallback import _canon_tuple
+
+    tp = fp = fn = 0
+    for idx, (caption, gold) in enumerate(mod.GOLD):
+        gold_c = {_canon_tuple(t) for t in gold}
+        got = {_canon_tuple(t) for t in parse_tuples(caption.split())}
+        if idx < 30:
+            assert got == gold_c, f"core caption diverged: {caption!r}"
+        tp += len(got & gold_c)
+        fp += len(got - gold_c)
+        fn += len(gold_c - got)
+    p, r = tp / (tp + fp), tp / (tp + fn)
+    assert 2 * p * r / (p + r) >= 0.91
