@@ -172,6 +172,10 @@ def cmd_evaluate(args):
         from .evalx.metrics import BERT
 
         metrics.update(BERT(model_path=args.bert_model).calculate(preds, refs))
+    if getattr(args, "spice_detailed", False):
+        from .evalx.metrics import SPICE
+
+        metrics.update(SPICE(detailed=True).calculate(preds, refs))
     print(metrics)
     if args.out:
         import os
@@ -572,6 +576,10 @@ def main(argv=None):
     p.add_argument("--bert-model", dest="bert_model", default=None,
                    help="local transformers model dir: also report BERTScore "
                         "(pycocoevalcap/bert adapter semantics)")
+    p.add_argument("--spice-detailed", dest="spice_detailed",
+                   action="store_true",
+                   help="also report the SPICE per-category breakdown "
+                        "(Object/Attribute/Relation/Color/Count/Size)")
     _add_common(p)
     p.add_argument("--beam-size", type=int, default=3)
     p.add_argument("--out", default=None)

@@ -346,16 +346,38 @@ class SPICE:
     jar produces no SPICE number at all, metrics.py:62-73).
 
     Pass ``fallback=False`` for the reference's literal jarless behaviour
-    (0 with a warning)."""
+    (0 with a warning). Pass ``detailed=True`` for the jar's per-category
+    breakdown (SPICE paper Table 2) as extra ``SPICE_Object`` /
+    ``SPICE_Attribute`` / ``SPICE_Relation`` / ``SPICE_Color`` /
+    ``SPICE_Count`` / ``SPICE_Size`` keys — each averaged over the images
+    whose references CARRY that category (the jar's NaN-skip convention),
+    from both the jar and the fallback."""
 
     # per-mode once-only warning flags (a process can legitimately use both
     # modes; each mode's distinct warning must fire on ITS first use)
     _warned_literal = False
     _warned_fallback = False
 
-    def __init__(self, jar: str | None = None, fallback: bool = True):
+    CATEGORIES = ("Object", "Attribute", "Relation", "Color", "Count", "Size")
+
+    def __init__(self, jar: str | None = None, fallback: bool = True,
+                 detailed: bool = False):
         self._jar = jar if jar is not None else _find_jar("LRPIC_SPICE_JAR", "spice-1.0.jar")
         self._fallback = fallback
+        self._detailed = detailed
+
+    @classmethod
+    def _aggregate(cls, per_image: list, detailed: bool) -> dict:
+        """per_image: [{'All': f|None, 'Object': f|None, ...}] -> corpus
+        dict. 'All' counts every image (None -> 0: no reference tuples at
+        all); categories average only over images carrying the category."""
+        alls = [s["All"] or 0.0 for s in per_image]
+        out = {"SPICE": sum(alls) / max(len(alls), 1)}
+        if detailed:
+            for cat in cls.CATEGORIES:
+                vals = [s[cat] for s in per_image if s.get(cat) is not None]
+                out[f"SPICE_{cat}"] = sum(vals) / len(vals) if vals else 0.0
+        return out
 
     def calculate(self, id_to_prediction, id_to_references):
         if self._jar is not None:
@@ -377,11 +399,11 @@ class SPICE:
                 "surface)."
             )
             SPICE._warned_fallback = True
-        from .spice_fallback import spice_f1
+        from .spice_fallback import spice_scores
 
         hyps, refs = _pairs(id_to_prediction, id_to_references)
-        scores = [spice_f1(h, rs) for h, rs in zip(hyps, refs)]
-        return {"SPICE": sum(scores) / max(len(scores), 1)}
+        per_image = [spice_scores(h, rs) for h, rs in zip(hyps, refs)]
+        return self._aggregate(per_image, self._detailed)
 
     def _calculate_jar(self, id_to_prediction, id_to_references):  # pragma: no cover - jar env only
         keys = sorted(id_to_prediction)
@@ -404,8 +426,19 @@ class SPICE:
             )
             with open(out_path) as f:
                 results = json.load(f)
-        scores = [float(item["scores"]["All"]["f"]) for item in results]
-        return {"SPICE": sum(scores) / max(len(scores), 1)}
+
+        def _f(item, cat):
+            try:
+                v = float(item["scores"][cat]["f"])
+            except (KeyError, TypeError, ValueError):
+                return None
+            return None if math.isnan(v) else v
+
+        per_image = [
+            {cat: _f(item, cat) for cat in ("All",) + self.CATEGORIES}
+            for item in results
+        ]
+        return self._aggregate(per_image, self._detailed)
 
 
 class BERT:

@@ -546,14 +546,38 @@ def _canon_tuple(tup):
     return tuple(canonical(x) for x in tup)
 
 
-def spice_f1(cand_tokens: list, refs_tokens: list) -> float:
-    """Per-image SPICE: F1 over the candidate tuple set vs the UNION of the
-    reference captions' tuple sets (Anderson et al. §3.1), synonym-canonical
-    matching."""
-    cand = {_canon_tuple(t) for t in parse_tuples(cand_tokens)}
-    ref: set = set()
-    for r in refs_tokens:
-        ref |= {_canon_tuple(t) for t in parse_tuples(r)}
+# attribute subclasses for the jar's per-category breakdown (SPICE paper
+# Table 2: Color / Count / Size are subsets of Attribute)
+COLOR_WORDS = frozenset(
+    "white black red blue green yellow brown gray grey orange pink purple "
+    "golden tan beige maroon navy teal silver".split()
+)
+SIZE_WORDS = frozenset(
+    "big small large little tiny huge tall short long wide giant enormous "
+    "massive miniature".split()
+)
+
+
+def _tuple_category(tup) -> str:
+    if len(tup) == 1:
+        return "Object"
+    if len(tup) == 3:
+        return "Relation"
+    return "Attribute"
+
+
+def _attr_subclass(tup) -> str | None:
+    a = tup[1]
+    if a.isdigit():
+        return "Count"
+    if a in COLOR_WORDS:
+        return "Color"
+    if a in SIZE_WORDS:
+        return "Size"
+    return None
+
+
+def _sets_f1(cand: set, ref: set) -> float:
     if not cand or not ref:
         return 0.0
     inter = len(cand & ref)
@@ -562,3 +586,44 @@ def spice_f1(cand_tokens: list, refs_tokens: list) -> float:
     if p + r == 0:
         return 0.0
     return 2 * p * r / (p + r)
+
+
+def spice_f1(cand_tokens: list, refs_tokens: list) -> float:
+    """Per-image SPICE: F1 over the candidate tuple set vs the UNION of the
+    reference captions' tuple sets (Anderson et al. §3.1), synonym-canonical
+    matching."""
+    return spice_scores(cand_tokens, refs_tokens)["All"] or 0.0
+
+
+def spice_scores(cand_tokens: list, refs_tokens: list) -> dict:
+    """Per-image SPICE with the jar's per-category breakdown: ``All`` plus
+    F1 restricted to Object / Attribute / Relation tuples and the
+    Color / Count / Size attribute subclasses (SPICE paper Table 2; the jar
+    emits the same keys per image). Categories are decided by structure —
+    tuple arity and attribute word class — identically on both sides.
+
+    A category with NO tuples on the reference side scores ``None`` (the
+    jar's NaN): the image carries no signal for that category and must be
+    skipped, not counted as 0, when averaging over a corpus."""
+    cand = {_canon_tuple(t) for t in parse_tuples(cand_tokens)}
+    ref: set = set()
+    for r in refs_tokens:
+        ref |= {_canon_tuple(t) for t in parse_tuples(r)}
+
+    def score(c, g):
+        if not g:
+            return None
+        return _sets_f1(c, g)
+
+    out = {"All": score(cand, ref)}
+    for cat in ("Object", "Attribute", "Relation"):
+        out[cat] = score(
+            {t for t in cand if _tuple_category(t) == cat},
+            {t for t in ref if _tuple_category(t) == cat},
+        )
+    for sub in ("Color", "Count", "Size"):
+        out[sub] = score(
+            {t for t in cand if len(t) == 2 and _attr_subclass(t) == sub},
+            {t for t in ref if len(t) == 2 and _attr_subclass(t) == sub},
+        )
+    return out

@@ -95,7 +95,13 @@ def spice(argv):
         payload = json.load(f)
     results = [
         {"image_id": item["image_id"],
-         "scores": {"All": {"f": SPICE_F + 0.1 * i, "pr": 0.5, "re": 0.5}}}
+         "scores": {"All": {"f": SPICE_F + 0.1 * i, "pr": 0.5, "re": 0.5},
+                    # per-category entries as the real jar emits them:
+                    # a number where the category occurs, NaN elsewhere
+                    # (JSON NaN, which the jar's gson serializer produces)
+                    "Object": {"f": 0.5 + 0.1 * i, "pr": 0.5, "re": 0.5},
+                    "Color": {"f": float("nan") if i == 0 else 0.8,
+                              "pr": 0.5, "re": 0.5}}}
         for i, item in enumerate(payload)
     ]
     with open(out_path, "w") as f:

@@ -97,3 +97,18 @@ def test_ptb_jar_protocol(tmp_path, fake_java):
         "a": ["a dog runs", "the dog running"],
         "b": ["hello world"],
     }
+
+
+def test_spice_jar_detailed_categories_and_nan_skip(tmp_path, fake_java):
+    """detailed=True surfaces the jar's per-category f values; a NaN entry
+    (the jar's no-signal marker) is skipped from the category mean, not
+    averaged as 0."""
+    jar = tmp_path / "spice-1.0.jar"
+    jar.write_text("")
+    s = SPICE(jar=str(jar), detailed=True)
+    out = s.calculate({"1": [{"caption": "a cat"}], "2": [{"caption": "a dog"}]},
+                      {"1": [{"caption": "a cat"}], "2": [{"caption": "a dog"}]})
+    assert out["SPICE"] == pytest.approx(0.30)
+    assert out["SPICE_Object"] == pytest.approx(0.55)  # (0.5 + 0.6) / 2
+    assert out["SPICE_Color"] == pytest.approx(0.8)    # NaN on image 0 skipped
+    assert out["SPICE_Size"] == 0.0                    # never emitted

@@ -215,3 +215,32 @@ def test_gold_corpus_coverage_pinned():
         fn += len(gold_c - got)
     p, r = tp / (tp + fp), tp / (tp + fn)
     assert 2 * p * r / (p + r) >= 0.91
+
+
+def test_spice_detailed_category_breakdown():
+    """detailed=True: the jar's per-category keys, hand-computed.
+
+    img1: cand/ref differ only in the horse's colour -> All 0.75,
+    Object/Relation 1.0, Attribute/Color 0.0; no Count/Size signal.
+    img2: identical "two dogs" -> All/Object/Attribute/Count 1.0; no
+    Relation/Color/Size signal. Category means skip non-carrying images
+    (the jar's NaN convention): Relation averages over img1 alone, Count
+    over img2 alone, Size over nothing -> 0.0."""
+    preds = {
+        "1": [{"caption": "a man riding a brown horse"}],
+        "2": [{"caption": "two dogs"}],
+    }
+    refs = {
+        "1": [{"caption": "a man riding a black horse"}],
+        "2": [{"caption": "two dogs"}],
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = SPICE(jar=None, detailed=True).calculate(preds, refs)
+    assert out["SPICE"] == pytest.approx((0.75 + 1.0) / 2)
+    assert out["SPICE_Object"] == pytest.approx(1.0)
+    assert out["SPICE_Attribute"] == pytest.approx(0.5)
+    assert out["SPICE_Relation"] == pytest.approx(1.0)
+    assert out["SPICE_Color"] == pytest.approx(0.0)
+    assert out["SPICE_Count"] == pytest.approx(1.0)
+    assert out["SPICE_Size"] == pytest.approx(0.0)
