@@ -244,3 +244,25 @@ def test_spice_detailed_category_breakdown():
     assert out["SPICE_Color"] == pytest.approx(0.0)
     assert out["SPICE_Count"] == pytest.approx(1.0)
     assert out["SPICE_Size"] == pytest.approx(0.0)
+
+
+def test_parser_never_crashes_or_emits_malformed_tuples():
+    """Deterministic fuzz: arbitrary token soup (content words, closed-class
+    words, punctuation, numbers, unicode) must parse to a well-formed tuple
+    set — arity 1-3, non-empty lowercase string elements — never raise."""
+    import random
+
+    rng = random.Random(0)
+    vocab = (
+        "a the and , or is are on in of with two 3 dog dogs man riding "
+        "running bat . ! '' `` 's -LRB- über 猫 x y z holding by near park "
+        "glasses people baseball & && tall".split()
+    )
+    for _ in range(500):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
+        out = parse_tuples(toks)
+        for t in out:
+            assert isinstance(t, tuple) and 1 <= len(t) <= 3
+            for el in t:
+                assert isinstance(el, str) and el
+                assert el == el.lower()
