@@ -73,13 +73,14 @@ def test_full_reference_workflow(corpus, tmp_path, monkeypatch, capsys):
     # ---- evaluate (inference.py main: 3 yaml outputs) -------------------
     cli.main([
         "evaluate", *_common(root), "--weights", weights,
-        "--beam-size", "2", "--out", "eval-out",
+        "--beam-size", "2", "--out", "eval-out", "--spice-detailed",
     ])
     for name in ("metrics", "predictions", "reference"):
         assert os.path.exists(f"eval-out/test-{name}.yaml")
     with open("eval-out/test-metrics.yaml") as f:
         metrics = yaml.safe_load(f)
     assert "Bleu_1" in metrics and 0.0 <= metrics["Bleu_1"] <= 1.0
+    assert "SPICE_Object" in metrics  # --spice-detailed breakdown emitted
     with open("eval-out/test-predictions.yaml") as f:
         preds = yaml.safe_load(f)
     assert len(preds) == 2  # test split size
