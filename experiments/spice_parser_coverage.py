@@ -147,7 +147,70 @@ GOLD = [
       ("table", "with", "food"), ("table", "with", "drink")}),  # reduced relative + coord
     ("a not very happy child",
      {("child",), ("child", "happy")}),  # negated degree adverb (SPICE keeps the attr)
+    # --- round-5 additions: the formerly-unmodeled constructions, varied ---
+    ("a boy 's dog chasing a ball",
+     {("boy",), ("dog",), ("boy", "have", "dog"), ("ball",),
+      ("dog", "chase", "ball")}),  # possessive subject
+    ("there is a red bus parked near the station",
+     {("bus",), ("bus", "red"), ("bus", "park"), ("station",),
+      ("bus", "near", "station")}),  # existential + participle
+    ("a woman 's face reflected in the mirror",
+     {("woman",), ("face",), ("woman", "have", "face"), ("face", "reflect"),
+      ("mirror",), ("face", "in", "mirror")}),  # possessive + reduced passive
+    ("a sandwich being eaten by a young boy",
+     {("sandwich",), ("boy",), ("boy", "young"),
+      ("boy", "eat", "sandwich")}),  # progressive passive + agent
+    ("the dog , a small terrier , digs a hole",
+     {("dog",), ("terrier",), ("terrier", "small"), ("hole",),
+      ("dog", "dig", "hole")}),  # apposition
+    ("two of the girls are dancing",
+     {("girl",), ("girl", "dance")}),  # partitive subject
+    ("a man wearing a t-shirt and jeans",
+     {("man",), ("t-shirt",), ("jeans",), ("man", "wear", "t-shirt"),
+      ("man", "wear", "jeans")}),  # hyphenated compound + coordination
+    ("a tree taller than the house",
+     {("tree",), ("house",), ("tree", "taller than", "house")}),  # comparative
+    ("a fire-truck parked in front of the station",
+     {("fire-truck",), ("fire-truck", "park"), ("station",),
+      ("fire-truck", "in front of", "station")}),  # hyphen + multiword prep
+    ("the girl 's bike is blue",
+     {("girl",), ("bike",), ("girl", "have", "bike"),
+      ("bike", "blue")}),  # possessive + predicative
+    ("a guitar played by a street musician",
+     {("guitar",), ("musician",), ("musician", "street"),
+      ("musician", "play", "guitar")}),  # reduced passive + agent
+    ("there are three birds sitting on a wire",
+     {("bird",), ("bird", "3"), ("bird", "sit"), ("wire",),
+      ("bird", "on", "wire")}),  # existential + count
+    ("the chef 's knife cutting a tomato",
+     {("chef",), ("knife",), ("chef", "have", "knife"), ("tomato",),
+      ("knife", "cut", "tomato")}),  # possessive inanimate subject
+    ("a player trying to score a goal",
+     {("player",), ("player", "try"), ("goal",),
+      ("player", "score", "goal")}),  # control verb
+    ("one of the men is wearing a suit",
+     {("man",), ("suit",), ("man", "wear", "suit")}),  # partitive + copula
+    ("the players ' uniforms are dirty",
+     {("player",), ("uniform",), ("player", "have", "uniform"),
+      ("uniform", "dirty")}),  # plural possessive
+    ("two men shaking hands after the game",
+     {("man",), ("man", "2"), ("hand",), ("man", "shake", "hand"),
+      ("game",), ("hand", "after", "game")}),  # temporal PP (nearest-NP convention)
+    # --- constructions STILL unmodeled (honest misses, round 5) ---
+    ("a dog as big as a wolf",
+     {("dog",), ("wolf",), ("dog", "as big as", "wolf")}),  # equative comparison
+    ("a man who appears to be sleeping on the bench",
+     {("man",), ("man", "sleep"), ("bench",),
+      ("man", "on", "bench")}),  # raising verb ("appears to be")
+    ("a kitchen with lots of pots and pans",
+     {("kitchen",), ("pot",), ("pan",), ("kitchen", "with", "pot"),
+      ("kitchen", "with", "pan")}),  # non-numeric quantifier partitive
 ]
+
+# captions 0..N_MODELED-1 exercise constructions the grammar models (the
+# original 30-core set plus the round-5 extension targets); the tail is the
+# honest still-unmodeled set
+N_MODELED = 57
 
 
 def main():
@@ -200,18 +263,19 @@ def main():
         # this 1.0 under parsed graphs; gold identity is 1.0 by definition
         assert f1_sets(parsed_graphs[i], [parsed_graphs[i]]) == 1.0
 
-    core = per_caption[:30]
-    hard = per_caption[30:]
+    modeled = per_caption[:N_MODELED]
+    hard = per_caption[N_MODELED:]
     out = {
         "protocol": "parsed vs hand-derived gold scene graphs (SPICE-paper "
                     "rules, derived independently of the parser; includes "
-                    "10 deliberately unmodeled constructions)",
+                    "deliberately unmodeled constructions)",
         "n_captions": len(GOLD),
+        "n_modeled": N_MODELED,
         "tuple_micro": {"precision": round(p, 4), "recall": round(r, 4),
                         "f1": round(f1, 4), "tp": tp, "fp": fp, "fn": fn},
         "exact_graph_matches": exact,
-        "core_captions_exact": sum(not c["missed"] and not c["spurious"] for c in core),
-        "hard_captions_exact": sum(not c["missed"] and not c["spurious"] for c in hard),
+        "modeled_captions_exact": sum(not c["missed"] and not c["spurious"] for c in modeled),
+        "unmodeled_captions_exact": sum(not c["missed"] and not c["spurious"] for c in hard),
         "score_deviation_vs_gold": {
             "max": round(max(devs), 4),
             "mean": round(sum(devs) / len(devs), 4),

@@ -33,7 +33,18 @@ What is approximated:
   ("a dog that is running" -> (dog, run)), intransitive verb + preposition
   ("standing on top of X" -> (subj, stand) attribute + (subj, on top of, X)
   relation, the paper's Figure 2 decomposition), and transitive verbs
-  ("riding a horse" -> (subj, ride, horse)).
+  ("riding a horse" -> (subj, ride, horse)). Round 5 extended the grammar
+  to the previously-unmodeled miss set: possessives ("the man 's hat" ->
+  (man, have, hat)), passives with agents ("a cake being cut by a woman"
+  -> (woman, cut, cake)), agentless past participles attaching to the
+  clause subject ("a picture of a horse taken at sunset" -> (picture,
+  take)), existential "there is/are" (reduces to the copula + NP),
+  partitive quantifiers ("one of the dogs" -> the head is "dogs"),
+  appositives ("the goalie , a young man , blocks ..." parses the
+  parenthetical standalone), comparatives ("larger than" as a relation),
+  infinitive "to" after control verbs ("trying to catch X" -> (subj, try)
+  + (subj, catch, X)), hyphenated compounds ("t-shirt"), and s-inflected
+  verb forms as noun conjuncts ("food and drinks").
 * matching. The jar matches tuple elements by lemma OR WordNet synset
   overlap; no WordNet data ships in this environment, so matching is by
   lemma with a small curated table of caption-domain WordNet synonym pairs
@@ -47,14 +58,14 @@ hand-derived scene graphs (including the SPICE paper's own example) and the
 scorer on hand-computed F1s.
 
 MEASURED deviation surface (experiments/spice_parser_coverage.py, artifact
-SPICE_PARSER_COVERAGE.json): against a 40-caption gold corpus hand-derived
-from the paper's rules — 10 captions deliberately drawn from UNMODELED
-constructions (passives, possessives, comparatives, apposition, existential
-"there", control verbs) — the parser reaches tuple micro-F1 0.915 (all 30
-core-grammar captions parse to their exact gold graphs; the unmodeled
-constructions account for every miss), and the induced SPICE-score
-deviation under a deviation-maximizing low-overlap pairing is mean 0.009 /
-max 0.18 per image.
+SPICE_PARSER_COVERAGE.json): against a 60-caption gold corpus hand-derived
+from the paper's rules — 3 captions deliberately drawn from constructions
+STILL unmodeled after round 5 (equative "as big as", raising verbs
+("appears to be"), non-numeric quantifier partitives ("lots of")) — the
+parser reaches tuple micro-F1 0.984 (all 57 modeled-construction captions
+parse to their exact gold graphs; the unmodeled tail accounts for every
+miss), and the induced SPICE-score deviation under a deviation-maximizing
+low-overlap pairing is mean 0.0002 / max 0.011 per image.
 """
 
 from __future__ import annotations
@@ -82,7 +93,7 @@ PREPOSITIONS = frozenset(
     "in on at by with near under over above below behind beside between "
     "against across along around atop inside outside onto into through "
     "towards toward up down off upon beneath underneath amid among past "
-    "beyond during for from of to".split()
+    "beyond during for from of to after before".split()
 ) | frozenset(" ".join(p) for p in MULTI_PREPS)
 
 COPULAS = frozenset("is are was were be being been am".split())
@@ -90,10 +101,13 @@ COPULAS = frozenset("is are was were be being been am".split())
 CONJUNCTIONS = frozenset(["and", "or", ","])
 
 # words the grammar skips entirely (pronoun subjects are rare in captions
-# and carry no scene content; negation/adverbs do not form tuples)
+# and carry no scene content; negation/adverbs do not form tuples).
+# "there" covers the existential: "there are two boats" reduces to the
+# copula + NP the grammar already parses. Bare "than" (not merged into a
+# comparative) carries no tuple either.
 SKIP = frozenset(
     "there it he she they them him who whom which while as not n't very "
-    "really quite just also then so too".split()
+    "really quite just also then so too than".split()
 )
 
 # animate caption subjects (lemma forms): used to attach participles to the
@@ -123,6 +137,7 @@ stretch balance grab lift wave shake open close stare gaze glance smell
 listen speak shout yell cheer clap celebrate compete practice train exercise
 pitch bat dribble shoot score tackle dunk serve volley putt bowl fish hunt
 herd plow mow dig plant pick harvest brush groom pet cuddle hug kiss
+block dock try
 """.split()
 
 _IRREGULAR_VERB_FORMS = {
@@ -137,8 +152,24 @@ _IRREGULAR_VERB_FORMS = {
     "made": "make", "cutting": "cut", "putting": "put", "put": "put",
     "getting": "get", "got": "get", "jogging": "jog", "shot": "shoot",
     "dug": "dig", "spoke": "speak", "spoken": "speak", "shook": "shake",
-    "shaken": "shake",
+    "shaken": "shake", "drawn": "draw", "drew": "draw",
 }
+
+# forms that function as PASSIVE participles: regular "-ed" verbs plus the
+# irregular (and base-identical) participles. Used to (a) detect the
+# "(being) V-ed by AGENT" passive and (b) attach agentless participles to
+# the clause subject ("a picture of a horse TAKEN at sunset" -> picture).
+_PAST_PARTICIPLES = frozenset(
+    "cut put held hung made shot taken worn thrown driven ridden eaten "
+    "flown swum drunk caught drawn given broken written hidden torn built "
+    "left found".split()
+)
+
+# common non-verb words that would otherwise match the generic "-ed" rule
+_NOT_VERBS = frozenset(
+    "hundred naked wicked rugged sacred crooked jagged ragged beloved "
+    "speed seed breed bleed".split()
+)
 
 _VOWELS = set("aeiou")
 
@@ -267,17 +298,108 @@ def _merge_multiword_preps(tokens: list) -> list:
 def _is_verb(word: str) -> bool:
     if word in VERB_LEMMA:
         return True
-    # unknown -ing forms are verbs/participles in caption position
-    return word.endswith("ing") and len(word) > 4
+    if word in _NOT_VERBS:
+        return False
+    # unknown -ing / -ed forms are verbs/participles in caption position
+    if word.endswith("ing") and len(word) > 4:
+        return True
+    return word.endswith("ed") and len(word) > 4 and not word.endswith("eed")
+
+
+def _is_past_participle(word: str) -> bool:
+    return word in _PAST_PARTICIPLES or (word.endswith("ed") and _is_verb(word))
 
 
 def _verb_lemma(word: str) -> str:
     if word in VERB_LEMMA:
         return VERB_LEMMA[word]
-    stem = word[:-3]
+    if word.endswith("ied") and len(word) > 4:
+        return word[:-3] + "y"  # tried -> try
+    stem = word[:-3] if word.endswith("ing") else word[:-2]
     if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
-        return stem[:-1]  # hugging -> hug
+        return stem[:-1]  # hugging/hugged -> hug
     return stem
+
+
+def _is_prep(word: str) -> bool:
+    """Prepositions plus merged comparative relations ("larger than")."""
+    return word in PREPOSITIONS or word.endswith(" than")
+
+
+def _is_wordlike(t: str) -> bool:
+    """Tokens that may enter an NP: alnum, merged multi-word units, and
+    hyphenated compounds ("t-shirt", "fire-truck" — PTB keeps the hyphen)."""
+    if t.isalnum() or " " in t:
+        return True
+    if "-" in t:
+        segs = t.split("-")
+        return len(segs) > 1 and all(s.isalnum() for s in segs)
+    return False
+
+
+def _merge_comparatives(toks: list) -> list:
+    """"larger than" -> one relation token, treated prepositionally
+    ("a dog LARGER THAN its owner" -> (dog, larger than, owner))."""
+    out = []
+    i = 0
+    while i < len(toks):
+        w = toks[i]
+        if (
+            i + 1 < len(toks)
+            and toks[i + 1] == "than"
+            and ((w.endswith("er") and len(w) > 4) or w in ("more", "less"))
+        ):
+            out.append(w + " than")
+            i += 2
+        else:
+            out.append(w)
+            i += 1
+    return out
+
+
+def _np_only_word(w: str) -> bool:
+    """A word that can live inside a pure NP (appositive candidate)."""
+    if w in DETERMINERS:
+        return True
+    return (
+        _is_wordlike(w)
+        and " " not in w
+        and not _is_prep(w)
+        and w not in COPULAS
+        and w not in CONJUNCTIONS
+        and w not in SKIP
+        and not _is_verb(w)
+    )
+
+
+def _split_appositives(toks: list):
+    """Splice out ", DET mod* head ," appositive segments.
+
+    "the goalie , a young man , blocks the shot": the parenthetical NP
+    describes the preceding head but must not hijack the clause subject —
+    it parses standalone ((man,), (man, young)) while the main clause keeps
+    (goalie, block, shot). Returns (main_tokens, [segment_tokens...])."""
+    main, segs = [], []
+    i, n = 0, len(toks)
+    while i < n:
+        if toks[i] == "," and main and i + 1 < n and toks[i + 1] in DETERMINERS:
+            j = i + 1
+            seg = []
+            while j < n and toks[j] != ",":
+                seg.append(toks[j])
+                j += 1
+            if (
+                j < n
+                and seg
+                and any(w not in DETERMINERS for w in seg)
+                and all(_np_only_word(w) for w in seg)
+            ):
+                segs.append(seg)
+                i = j + 1  # drop the segment and both commas
+                continue
+        main.append(toks[i])
+        i += 1
+    return main, segs
 
 
 def parse_tuples(tokens: list) -> set:
@@ -286,7 +408,21 @@ def parse_tuples(tokens: list) -> set:
     Tuples are ``(obj,)``, ``(obj, attr)`` and ``(subj, rel, obj)`` with all
     elements lemmatized. See the module docstring for the grammar.
     """
-    toks = _merge_multiword_preps([t.lower() for t in tokens if t.isalnum() or " " in t or t == ","])
+    toks = _merge_multiword_preps(
+        [t.lower() for t in tokens if _is_wordlike(t) or t in (",", "'s", "'")]
+    )
+    toks = _merge_comparatives(toks)
+    toks, appositives = _split_appositives(toks)
+    tuples = OrderedDict()  # ordered set
+    for seg in appositives:
+        for tup in _parse_clause(seg):
+            tuples[tup] = None
+    for tup in _parse_clause(toks):
+        tuples[tup] = None
+    return set(tuples)
+
+
+def _parse_clause(toks: list) -> OrderedDict:
     tuples = OrderedDict()  # ordered set
 
     def add(tup):
@@ -296,6 +432,8 @@ def parse_tuples(tokens: list) -> set:
     clause_subjects: list = []  # heads of the caption's FIRST NP
     pending_verb: str | None = None
     pending_prep: str | None = None
+    pending_poss: list = []  # possessor heads awaiting their head NP
+    passive: tuple | None = None  # (verb, patients) awaiting the "by" agent
     after_copula = False
     det_before = False  # a determiner immediately precedes the cursor
 
@@ -316,6 +454,10 @@ def parse_tuples(tokens: list) -> set:
             det_before = True
             i += 1
             continue
+        if w in ("'s", "'"):  # stray possessive marker (no preceding NP)
+            det_before = False
+            i += 1
+            continue
         if w in SKIP or w in CONJUNCTIONS:
             det_before = False
             i += 1
@@ -325,23 +467,34 @@ def parse_tuples(tokens: list) -> set:
             det_before = False
             i += 1
             continue
-        if w in PREPOSITIONS:
+        if _is_prep(w):
             pending_prep = w
             det_before = False
             i += 1
             continue
         if _is_verb(w) and not _np_starts_here(toks, i, w):
             lemma = _verb_lemma(w)
+            if pending_prep == "to":
+                pending_prep = None  # infinitive marker: "trying TO catch"
             nxt = _next_content(toks, i + 1)
-            if nxt is None or nxt in PREPOSITIONS or nxt in COPULAS or nxt in CONJUNCTIONS or nxt in SKIP:
+            # past participles hang off the clause subject even when inanimate
+            # ("a picture of a horse TAKEN at sunset" -> picture); progressives
+            # keep the animacy rule
+            participle = _is_past_participle(w)
+            targets = clause_subjects if participle and clause_subjects else actors()
+            if nxt == "by" and participle:
+                # passive: "a cake (being) cut BY a woman" -> the "by" NP is
+                # the agent of a reversed relation, not a location
+                passive = (lemma, list(targets))
+            elif nxt is None or _is_prep(nxt) or nxt in COPULAS or nxt in CONJUNCTIONS or nxt in SKIP:
                 # no direct object: the verb becomes an attribute of its
                 # subject(s) and a following prep carries the relation
                 # (the paper's "(girl, standing) + (girl, on-top-of, court)"
                 # decomposition)
-                for s in actors():
+                for s in targets:
                     add((s, lemma))
-                if nxt in PREPOSITIONS:
-                    subjects = actors()
+                if nxt is not None and _is_prep(nxt):
+                    subjects = targets
             else:
                 pending_verb = lemma
             after_copula = False
@@ -355,6 +508,16 @@ def parse_tuples(tokens: list) -> set:
         det_before = False
         np_words, i = _consume_np(toks, i)
         if not np_words:
+            i += 1
+            continue
+        if (
+            all(x in NUMBER_WORDS or x.isdigit() for x in np_words)
+            and i < n
+            and toks[i] == "of"
+        ):
+            # partitive quantifier: "ONE OF the dogs is asleep" — the head is
+            # the NP after "of"; the quantifier itself contributes no tuple.
+            # Pending verb/prep survive to attach to the real head NP.
             i += 1
             continue
         if after_copula and not was_after_det and len(np_words) == 1:
@@ -373,7 +536,24 @@ def parse_tuples(tokens: list) -> set:
             add((h,))
             for a in attrs:
                 add((h, a))
-        if pending_verb is not None:
+        if i < n and toks[i] in ("'s", "'"):
+            # possessive: "the man 'S hat" -> the possessor got its object
+            # tuple above; the (man, have, hat) relation lands when the
+            # possessed head NP arrives, and any pending verb/prep attach to
+            # that head too ("holding the man 's hat" -> (subj, hold, hat))
+            pending_poss.extend(heads)
+            i += 1
+            continue
+        for s in pending_poss:
+            for h in heads:
+                add((s, "have", h))
+        pending_poss = []
+        if passive is not None and pending_prep == "by":
+            vb, patients = passive
+            for h in heads:
+                for p in patients:
+                    add((h, vb, p))
+        elif pending_verb is not None:
             # transitive verbs act for the clause subject(s): "a man in a
             # white shirt HOLDING a bat" -> (man, hold, bat)
             rel = pending_verb + (" " + pending_prep if pending_prep else "")
@@ -384,13 +564,14 @@ def parse_tuples(tokens: list) -> set:
             for s in subjects:
                 for h in heads:
                     add((s, pending_prep, h))
+        passive = None
         pending_verb = pending_prep = None
         subjects = heads
         if not clause_subjects:
             clause_subjects = heads
     # trailing verb with no object: "a dog running" at caption end was
     # handled in the loop; nothing to flush
-    return set(tuples)
+    return tuples
 
 
 def _next_content(toks, i):
@@ -415,7 +596,7 @@ def _np_starts_here(toks, i, w):
         # but "a dog is running" never reaches here with prev==DET
         return True
     if (
-        prev in PREPOSITIONS
+        _is_prep(prev)
         and w.endswith("ing")
         and i + 1 < len(toks)
         and toks[i + 1] not in DETERMINERS
@@ -425,12 +606,30 @@ def _np_starts_here(toks, i, w):
     return False
 
 
+def _noun_conjunct(toks, j):
+    """The conjunct after and/comma: a content noun, or an s-inflected verb
+    form used nominally ("food and DRINKS") — a plural-looking known verb
+    form with nothing NP-ish after it reads as a noun conjunct."""
+    if _next_is_content_noun(toks, j):
+        return True
+    if j >= len(toks):
+        return False
+    w = toks[j]
+    if not (w in VERB_LEMMA and _looks_plural(w)):
+        return False
+    nxt = toks[j + 1] if j + 1 < len(toks) else None
+    return (
+        nxt is None or _is_prep(nxt) or nxt in COPULAS or nxt in CONJUNCTIONS
+        or nxt in SKIP or nxt == ","
+    )
+
+
 def _next_is_content_noun(toks, i):
     if i >= len(toks):
         return False
     w = toks[i]
     return (
-        w not in DETERMINERS and w not in PREPOSITIONS and w not in COPULAS
+        w not in DETERMINERS and not _is_prep(w) and w not in COPULAS
         and w not in CONJUNCTIONS and w not in SKIP and not _is_verb(w)
     )
 
@@ -451,7 +650,7 @@ def _consume_np(toks, i):
             j = i + 1
             if j < n and toks[j] in DETERMINERS:
                 j += 1
-            if words and j < n and _next_is_content_noun(toks, j):
+            if words and j < n and _noun_conjunct(toks, j):
                 words.append("&")
                 i += 1
                 continue
@@ -466,7 +665,7 @@ def _consume_np(toks, i):
             words[-1] = "&&"
             i += 1
             continue
-        if w in PREPOSITIONS or w in COPULAS or w in SKIP or w in DETERMINERS:
+        if _is_prep(w) or w in COPULAS or w in SKIP or w in DETERMINERS:
             break
         if _is_verb(w) and words and words[-1] not in ("&", "&&"):
             # "a dog running" — an INFLECTED verb form ends the NP. A bare
@@ -479,7 +678,7 @@ def _consume_np(toks, i):
                 pass  # "two drinks" — the NP still needs its head noun
             elif w not in VERB_BASES or _looks_plural(words[-1]):
                 break
-        if not (w.isalnum() or " " in w):
+        if not _is_wordlike(w):
             break
         words.append(w)
         i += 1

@@ -189,10 +189,12 @@ def test_spice_adapter_reference_literal_mode():
 
 
 def test_gold_corpus_coverage_pinned():
-    """The 40-caption gold corpus (experiments/spice_parser_coverage.py):
-    every CORE construction must parse to its exact hand-derived graph, and
-    overall tuple micro-F1 (hard constructions included) must not regress
-    below the recorded 0.91."""
+    """The 60-caption gold corpus (experiments/spice_parser_coverage.py):
+    every MODELED construction (the original core set + the round-5
+    extension targets: possessives, passives, existentials, comparatives,
+    apposition, partitives, control verbs, hyphenated compounds) must parse
+    to its exact hand-derived graph; overall tuple micro-F1 (the honest
+    still-unmodeled tail included) must stay >= 0.95."""
     import importlib.util
     import os
 
@@ -208,13 +210,13 @@ def test_gold_corpus_coverage_pinned():
     for idx, (caption, gold) in enumerate(mod.GOLD):
         gold_c = {_canon_tuple(t) for t in gold}
         got = {_canon_tuple(t) for t in parse_tuples(caption.split())}
-        if idx < 30:
-            assert got == gold_c, f"core caption diverged: {caption!r}"
+        if idx < mod.N_MODELED:
+            assert got == gold_c, f"modeled caption diverged: {caption!r}"
         tp += len(got & gold_c)
         fp += len(got - gold_c)
         fn += len(gold_c - got)
     p, r = tp / (tp + fp), tp / (tp + fn)
-    assert 2 * p * r / (p + r) >= 0.91
+    assert 2 * p * r / (p + r) >= 0.95
 
 
 def test_spice_detailed_category_breakdown():
