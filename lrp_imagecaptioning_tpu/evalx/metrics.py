@@ -213,24 +213,28 @@ class METEOR:
     the aggregate.
 
     Python path: standard METEOR formula (alpha=0.9, beta=3.0, gamma=0.5)
-    with exact and Porter-stem matchers; synonym/paraphrase stages need
-    WordNet/paraphrase data shipped with the jar and are omitted.
+    with exact, Porter-stem, and synonym matchers. The jar's synonym stage
+    needs WordNet; the fallback runs it against the vendored caption-domain
+    synset table (``evalx/synonyms.py``, ~350 disjoint WordNet groups with
+    morphy-style inflection normalization). The paraphrase stage has no
+    offline data source and remains omitted. ``synonyms=False`` reproduces
+    the round-4 exact+stem configuration.
 
     Fallback fidelity (measured, experiments/METEOR_FALLBACK_BOUND.json):
-    per-segment scores are differential-pinned to NLTK's independent
-    meteor_score (same exact+stem stages, same parameters) to < 1e-12 over
-    a 144-segment perturbation corpus (60 cases in the in-tree differential,
-    tests/test_meteor_differential.py), so
-    the alignment engine and formula are third-party-verified. The
-    remaining jar deviation comes only from the missing synonym/paraphrase
-    stages and the jar's en-task parameter tuning; the measured stem-stage
-    sensitivity on the same corpus (recorded in the artifact) bounds the
-    per-stage contribution scale.
+    per-segment scores of the exact+stem core are differential-pinned to
+    NLTK's independent meteor_score (same stages, same parameters) to
+    < 1e-12 over a 144-segment perturbation corpus (60 cases in the in-tree
+    differential, tests/test_meteor_differential.py), and the synonym stage
+    is pinned to NLTK's wordnet stage run over the same vendored table
+    (base-form corpus; NLTK's ref side is inflection-blind, ours
+    normalizes both sides like the jar). The artifact records the MEASURED
+    synonym-stage contribution on synonym-bearing caption pairs — round 4
+    could only bound the missing stages by stem-stage proxy.
     """
 
     ALPHA, BETA_P, GAMMA = 0.9, 3.0, 0.5
 
-    def __init__(self, jar: str | None = None):
+    def __init__(self, jar: str | None = None, synonyms: bool = True):
         self._jar = jar if jar is not None else _find_jar("LRPIC_METEOR_JAR", "meteor-1.5.jar")
         if self._jar is not None:
             data = os.path.join(os.path.dirname(self._jar), "data", "paraphrase-en.gz")
@@ -242,6 +246,12 @@ class METEOR:
             self._stem = PorterStemmer().stem
         except Exception:  # pragma: no cover
             self._stem = lambda w: w
+        if synonyms:
+            from .synonyms import lookup as _syn_lookup
+
+            self._syn = _syn_lookup
+        else:
+            self._syn = None
 
     # --- jar path (pycocoevalcap meteor.py protocol) ---
 
@@ -289,7 +299,13 @@ class METEOR:
         m = len(hyp)
         match_of = [-1] * m
         used_ref = [False] * len(ref)
-        for stage in (lambda w: w, self._stem):
+        stages = [lambda w: w, self._stem]
+        if self._syn is not None:
+            # synonym stage (NLTK/jar ordering: exact -> stem -> synonym):
+            # two words match when they canonicalize into one vendored
+            # synset group; both sides are inflection-normalized
+            stages.append(self._syn)
+        for stage in stages:
             hkey = [stage(w) for w in hyp]
             rkey = [stage(w) for w in ref]
             for i in range(m - 1, -1, -1):

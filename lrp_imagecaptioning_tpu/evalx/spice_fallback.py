@@ -47,9 +47,10 @@ What is approximated:
   verb forms as noun conjuncts ("food and drinks").
 * matching. The jar matches tuple elements by lemma OR WordNet synset
   overlap; no WordNet data ships in this environment, so matching is by
-  lemma with a small curated table of caption-domain WordNet synonym pairs
-  (bike~bicycle, kid~child, ...). Everything is lemmatized (plural
-  irregulars, inflection-table verb lemmas) before comparison.
+  lemma plus the vendored caption-domain synset table
+  (``evalx/synonyms.py``: ~350 disjoint single-word WordNet synsets,
+  bike~bicycle, kid~child, sofa~couch, ...). Everything is lemmatized
+  (plural irregulars, inflection-table verb lemmas) before comparison.
 
 Deviations are therefore one-sided and parser-shaped: a construction the
 grammar misreads changes that image's tuple set, while the scoring on top
@@ -230,28 +231,11 @@ def _looks_plural(word: str) -> bool:
         word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3
     )
 
-# curated caption-domain WordNet synonym pairs (the jar's synset matching,
-# reduced to the handful of high-frequency caption equivalences; every pair
-# shares a WordNet synset)
-SYNONYM_GROUPS = [
-    ("bike", "bicycle"),
-    ("kid", "child"),
-    ("photo", "photograph"),
-    ("picture", "image"),
-    ("sofa", "couch"),
-    ("tv", "television"),
-    ("sidewalk", "pavement"),
-    ("cab", "taxi"),
-    ("rock", "stone"),
-    ("street", "road"),
-    ("large", "big"),
-    ("small", "little"),
-]
-
-_SYNONYM_CANON = {}
-for _group in SYNONYM_GROUPS:
-    for _w in _group:
-        _SYNONYM_CANON[_w] = _group[0]
+# the jar matches tuple elements by WordNet synset overlap; the vendored
+# caption-domain synset table (evalx/synonyms.py, ~350 disjoint groups)
+# supplies that equivalence offline. Replaces round 4's 12-pair seed table.
+from .synonyms import SYNSET_GROUPS as SYNONYM_GROUPS  # noqa: F401  (re-export)
+from .synonyms import canonical as _table_canonical
 
 
 def noun_lemma(word: str) -> str:
@@ -272,8 +256,8 @@ def noun_lemma(word: str) -> str:
 
 
 def canonical(lemma: str) -> str:
-    """Map a lemma through the synonym table (the matching equivalence)."""
-    return _SYNONYM_CANON.get(lemma, lemma)
+    """Map a lemma through the synset table (the matching equivalence)."""
+    return _table_canonical(lemma)
 
 
 # ------------------------------------------------------------- parsing
