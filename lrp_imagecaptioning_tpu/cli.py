@@ -166,16 +166,19 @@ def cmd_evaluate(args):
     params = _load_params(captioner, args)
     cls = BeamSearchInference if args.beam_size > 1 else BasicInference
     kw = {"beam_size": args.beam_size} if args.beam_size > 1 else {}
+    if getattr(args, "spice_detailed", False):
+        # swap the detailed SPICE into the metric list up front so the corpus
+        # is parsed (or the jar run) once, not twice
+        from .evalx.metrics import SPICE, default_metrics
+
+        kw["metrics"] = [m if not isinstance(m, SPICE) else SPICE(detailed=True)
+                         for m in default_metrics()]
     inference = cls(captioner, params, provider, max_caption_length=cfg.sentence_length, **kw)
     metrics, preds, refs = inference.evaluate_test_set(include_prediction=True)
     if getattr(args, "bert_model", None):
         from .evalx.metrics import BERT
 
         metrics.update(BERT(model_path=args.bert_model).calculate(preds, refs))
-    if getattr(args, "spice_detailed", False):
-        from .evalx.metrics import SPICE
-
-        metrics.update(SPICE(detailed=True).calculate(preds, refs))
     print(metrics)
     if args.out:
         import os

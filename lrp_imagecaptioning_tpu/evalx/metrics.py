@@ -419,7 +419,12 @@ class SPICE:
 
         hyps, refs = _pairs(id_to_prediction, id_to_references)
         per_image = [spice_scores(h, rs) for h, rs in zip(hyps, refs)]
-        return self._aggregate(per_image, self._detailed)
+        out = self._aggregate(per_image, self._detailed)
+        # marker key: persisted metrics files (test-metrics.yaml) must say
+        # which path produced the number — jar scores and the approximation
+        # are not comparable across environments
+        out["SPICE_fallback"] = True
+        return out
 
     def _calculate_jar(self, id_to_prediction, id_to_references):  # pragma: no cover - jar env only
         keys = sorted(id_to_prediction)
@@ -447,8 +452,17 @@ class SPICE:
             try:
                 v = float(item["scores"][cat]["f"])
             except (KeyError, TypeError, ValueError):
+                v = float("nan")
+            if math.isnan(v):
+                # NaN is expected for CATEGORIES with no reference signal
+                # (skip-averaged), but a missing/NaN 'All' means corrupted
+                # jar output — it would be silently averaged as 0
+                if cat == "All":
+                    warnings.warn(
+                        f"SPICE jar emitted no 'All' score for image "
+                        f"{item.get('image_id')!r}; counting it as 0")
                 return None
-            return None if math.isnan(v) else v
+            return v
 
         per_image = [
             {cat: _f(item, cat) for cat in ("All",) + self.CATEGORIES}

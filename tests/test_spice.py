@@ -176,8 +176,9 @@ def test_spice_adapter_mean_of_per_image_f1():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         out = SPICE(jar=None).calculate(preds, refs)
-    # image 1 scores 1.0, image 2 scores 0.0 -> corpus mean 0.5
-    assert out == {"SPICE": pytest.approx(0.5)}
+    # image 1 scores 1.0, image 2 scores 0.0 -> corpus mean 0.5; the
+    # marker key records that the approximation (not the jar) produced it
+    assert out == {"SPICE": pytest.approx(0.5), "SPICE_fallback": True}
 
 
 def test_spice_adapter_reference_literal_mode():
