@@ -7,7 +7,7 @@ from .http_server import CaptionHTTPServer  # noqa: F401
 
 def __getattr__(name):
     # lazy: grpc_server imports grpcio only when actually used
-    if name in ("CaptionGrpcServer", "CaptionGrpcClient"):
+    if name in ("CaptionGrpcServer", "CaptionGrpcClient", "CaptionGrpcTypedClient"):
         from . import grpc_server
 
         return getattr(grpc_server, name)

@@ -220,6 +220,54 @@ def test_grpc_front_end_over_exported_service(artifact, rng):
         srv.stop()
 
 
+def test_grpc_typed_contract_over_exported_service(artifact, rng):
+    """The typed lrpic.v1.CaptionService (committed .proto + vendored stubs)
+    serves caption + explain on the same server as the raw-bytes service,
+    with identical results."""
+    pytest.importorskip("grpc")
+    from lrp_imagecaptioning_tpu.infer import (
+        CaptionGrpcClient,
+        CaptionGrpcServer,
+        CaptionGrpcTypedClient,
+    )
+    from lrp_imagecaptioning_tpu.infer.export import ExportedService
+
+    out, _, _ = artifact
+    svc = ExportedService(out, warmup=False)
+    srv = CaptionGrpcServer(svc, port=0).start()
+    assert srv.typed, "vendored stubs must register the lrpic.v1 service"
+    try:
+        typed = CaptionGrpcTypedClient(f"127.0.0.1:{srv.port}")
+        legacy = CaptionGrpcClient(f"127.0.0.1:{srv.port}")
+        assert typed.health() is True
+        assert typed.stats()["requests"] == legacy.stats()["requests"]
+
+        imgs = rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+        caps = typed.caption(imgs)
+        assert caps == ExportedCaptioner(out).caption(imgs)
+        exps = typed.explain(imgs, "lrp")
+        z = legacy.explain(imgs, "lrp")
+        assert len(exps) == 2
+        for i, e in enumerate(exps):
+            assert e["caption"] == str(z[f"caption_{i}"])
+            np.testing.assert_array_equal(
+                e["relevance_maps"], z[f"relevance_maps_{i}"])
+            np.testing.assert_array_equal(
+                e["word_relevances"], z[f"word_relevances_{i}"])
+
+        # malformed batch (data length contradicts dims) -> INVALID_ARGUMENT
+        import grpc
+
+        from lrp_imagecaptioning_tpu.infer.proto import caption_service_pb2 as pb2
+        bad = pb2.CaptionRequest(images=pb2.ImageBatch(
+            n=2, height=8, width=8, data=b"\x00" * 7))
+        with pytest.raises(grpc.RpcError) as err:
+            typed._stub.Caption(bad)
+        assert err.value.code() == grpc.StatusCode.INVALID_ARGUMENT
+    finally:
+        srv.stop()
+
+
 def test_serve_cli_validates_exported_artifact(artifact, tmp_path):
     """cli serve --exported fails at STARTUP (not per-request) when the
     requested configuration contradicts what the artifact was exported
