@@ -196,7 +196,6 @@ GOLD = [
     ("two men shaking hands after the game",
      {("man",), ("man", "2"), ("hand",), ("man", "shake", "hand"),
       ("game",), ("hand", "after", "game")}),  # temporal PP (nearest-NP convention)
-    # --- constructions STILL unmodeled (honest misses, round 5) ---
     ("a dog as big as a wolf",
      {("dog",), ("wolf",), ("dog", "as big as", "wolf")}),  # equative comparison
     ("a man who appears to be sleeping on the bench",
@@ -205,12 +204,20 @@ GOLD = [
     ("a kitchen with lots of pots and pans",
      {("kitchen",), ("pot",), ("pan",), ("kitchen", "with", "pot"),
       ("kitchen", "with", "pan")}),  # non-numeric quantifier partitive
+    # --- constructions STILL unmodeled (honest misses, round 5) ---
+    ("the ball that the boy threw",
+     {("ball",), ("boy",), ("boy", "throw", "ball")}),  # object-gap relative
+    ("a basket full of apples",
+     {("basket",), ("basket", "full"), ("apple",),
+      ("basket", "of", "apple")}),  # adjective + of complement
+    ("on the table is a cake",
+     {("cake",), ("table",), ("cake", "on", "table")}),  # PP-fronted inversion
 ]
 
 # captions 0..N_MODELED-1 exercise constructions the grammar models (the
 # original 30-core set plus the round-5 extension targets); the tail is the
 # honest still-unmodeled set
-N_MODELED = 57
+N_MODELED = 60
 
 
 def main():

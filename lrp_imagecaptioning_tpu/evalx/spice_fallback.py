@@ -59,14 +59,14 @@ hand-derived scene graphs (including the SPICE paper's own example) and the
 scorer on hand-computed F1s.
 
 MEASURED deviation surface (experiments/spice_parser_coverage.py, artifact
-SPICE_PARSER_COVERAGE.json): against a 60-caption gold corpus hand-derived
+SPICE_PARSER_COVERAGE.json): against a 63-caption gold corpus hand-derived
 from the paper's rules — 3 captions deliberately drawn from constructions
-STILL unmodeled after round 5 (equative "as big as", raising verbs
-("appears to be"), non-numeric quantifier partitives ("lots of")) — the
-parser reaches tuple micro-F1 0.984 (all 57 modeled-construction captions
-parse to their exact gold graphs; the unmodeled tail accounts for every
-miss), and the induced SPICE-score deviation under a deviation-maximizing
-low-overlap pairing is mean 0.0002 / max 0.011 per image.
+STILL unmodeled after round 5 (object-gap relatives ("the ball that the
+boy threw"), adjective-of complements ("full of apples"), PP-fronted
+inversion ("on the table is a cake")) — the parser reaches tuple micro-F1
+0.984 (all 60 modeled-construction captions parse to their exact gold
+graphs, including equatives, raising verbs, and quantifier partitives
+added late in round 5; the unmodeled tail accounts for every miss).
 """
 
 from __future__ import annotations
@@ -97,7 +97,12 @@ PREPOSITIONS = frozenset(
     "beyond during for from of to after before".split()
 ) | frozenset(" ".join(p) for p in MULTI_PREPS)
 
-COPULAS = frozenset("is are was were be being been am".split())
+COPULAS = frozenset(
+    "is are was were be being been am "
+    # raising verbs link subject to predicate exactly like copulas for scene
+    # content ("a man who APPEARS to be sleeping" -> (man, sleep))
+    "appear appears appeared seem seems seemed".split()
+)
 
 CONJUNCTIONS = frozenset(["and", "or", ","])
 
@@ -118,6 +123,11 @@ PERSON_NOUNS = frozenset(
     "skier skateboarder snowboarder couple group crowd team family baby "
     "toddler teenager dog cat people men women".split()
 )
+
+# non-numeric quantifier nouns that act as partitives ("LOTS OF pots",
+# "PLENTY OF room"): like "one of", the head is the NP after "of" and the
+# quantifier contributes no tuple
+QUANTIFIER_NOUNS = frozenset("lots lot plenty".split())
 
 NUMBER_WORDS = {
     "one": "1", "two": "2", "three": "3", "four": "4", "five": "5",
@@ -306,8 +316,13 @@ def _verb_lemma(word: str) -> str:
 
 
 def _is_prep(word: str) -> bool:
-    """Prepositions plus merged comparative relations ("larger than")."""
-    return word in PREPOSITIONS or word.endswith(" than")
+    """Prepositions plus merged comparative/equative relations
+    ("larger than", "as big as")."""
+    return (
+        word in PREPOSITIONS
+        or word.endswith(" than")
+        or (word.startswith("as ") and word.endswith(" as"))
+    )
 
 
 def _is_wordlike(t: str) -> bool:
@@ -322,19 +337,30 @@ def _is_wordlike(t: str) -> bool:
 
 
 def _merge_comparatives(toks: list) -> list:
-    """"larger than" -> one relation token, treated prepositionally
-    ("a dog LARGER THAN its owner" -> (dog, larger than, owner))."""
+    """"larger than" / "as big as" -> one relation token, treated
+    prepositionally ("a dog LARGER THAN its owner" -> (dog, larger than,
+    owner); "a dog AS BIG AS a wolf" -> (dog, as big as, wolf))."""
     out = []
     i = 0
-    while i < len(toks):
+    n = len(toks)
+    while i < n:
         w = toks[i]
         if (
-            i + 1 < len(toks)
+            i + 1 < n
             and toks[i + 1] == "than"
             and ((w.endswith("er") and len(w) > 4) or w in ("more", "less"))
         ):
             out.append(w + " than")
             i += 2
+        elif (
+            w == "as"
+            and i + 2 < n
+            and toks[i + 2] == "as"
+            and _np_only_word(toks[i + 1])
+            and toks[i + 1] not in DETERMINERS
+        ):
+            out.append(f"as {toks[i + 1]} as")
+            i += 3
         else:
             out.append(w)
             i += 1
@@ -495,13 +521,15 @@ def _parse_clause(toks: list) -> OrderedDict:
             i += 1
             continue
         if (
-            all(x in NUMBER_WORDS or x.isdigit() for x in np_words)
+            all(x in NUMBER_WORDS or x.isdigit() or x in QUANTIFIER_NOUNS
+                for x in np_words)
             and i < n
             and toks[i] == "of"
         ):
-            # partitive quantifier: "ONE OF the dogs is asleep" — the head is
-            # the NP after "of"; the quantifier itself contributes no tuple.
-            # Pending verb/prep survive to attach to the real head NP.
+            # partitive quantifier: "ONE OF the dogs is asleep", "LOTS OF
+            # pots" — the head is the NP after "of"; the quantifier itself
+            # contributes no tuple. Pending verb/prep survive to attach to
+            # the real head NP.
             i += 1
             continue
         if after_copula and not was_after_det and len(np_words) == 1:
