@@ -258,8 +258,9 @@ def test_parser_never_crashes_or_emits_malformed_tuples():
     rng = random.Random(0)
     vocab = (
         "a the and , or is are on in of with two 3 dog dogs man riding "
-        "running bat . ! '' `` 's -LRB- über 猫 x y z holding by near park "
-        "glasses people baseball & && tall".split()
+        "running bat . ! '' `` 's ' -LRB- über 猫 x y z holding by near park "
+        "glasses people baseball & && tall as than larger there appears "
+        "lots cut taken being t-shirt one seems full docked thrown".split()
     )
     for _ in range(500):
         toks = [rng.choice(vocab) for _ in range(rng.randint(0, 15))]
