@@ -215,7 +215,7 @@ class METEOR:
     Python path: standard METEOR formula (alpha=0.9, beta=3.0, gamma=0.5)
     with exact, Porter-stem, and synonym matchers. The jar's synonym stage
     needs WordNet; the fallback runs it against the vendored caption-domain
-    synset table (``evalx/synonyms.py``, ~350 disjoint WordNet groups with
+    synset table (``evalx/synonyms.py``, ~400 disjoint WordNet groups with
     morphy-style inflection normalization). The paraphrase stage has no
     offline data source and remains omitted. ``synonyms=False`` reproduces
     the round-4 exact+stem configuration.

@@ -48,7 +48,7 @@ What is approximated:
 * matching. The jar matches tuple elements by lemma OR WordNet synset
   overlap; no WordNet data ships in this environment, so matching is by
   lemma plus the vendored caption-domain synset table
-  (``evalx/synonyms.py``: ~350 disjoint single-word WordNet synsets,
+  (``evalx/synonyms.py``: ~400 disjoint single-word WordNet synsets,
   bike~bicycle, kid~child, sofa~couch, ...). Everything is lemmatized
   (plural irregulars, inflection-table verb lemmas) before comparison.
 
@@ -242,7 +242,7 @@ def _looks_plural(word: str) -> bool:
     )
 
 # the jar matches tuple elements by WordNet synset overlap; the vendored
-# caption-domain synset table (evalx/synonyms.py, ~350 disjoint groups)
+# caption-domain synset table (evalx/synonyms.py, ~400 disjoint groups)
 # supplies that equivalence offline. Replaces round 4's 12-pair seed table.
 from .synonyms import SYNSET_GROUPS as SYNONYM_GROUPS  # noqa: F401  (re-export)
 from .synonyms import canonical as _table_canonical

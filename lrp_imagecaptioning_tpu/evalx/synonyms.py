@@ -394,6 +394,74 @@ forehead brow
 pancake flapjack hotcake griddlecake
 potato spud
 cucumber cuke
+practice practise
+goalkeeper goalie goaltender
+referee ref
+umpire ump
+captain skipper
+champion champ
+opponent adversary
+medal medallion
+crown diadem
+fort fortress
+cemetery graveyard necropolis
+gravestone headstone tombstone
+coffin casket
+grave tomb
+recliner lounger
+dresser bureau
+dryer drier
+doorbell buzzer
+icing frosting
+appetizer appetiser
+feast banquet
+picnic outing
+barbecue barbeque cookout
+deserted abandoned derelict
+lush luxuriant
+oval elliptical
+golden gilded gilt
+clumsy awkward
+agile nimble spry
+sturdy rugged
+fragile delicate frail
+slippery slippy
+chubby plump pudgy tubby
+skinny scrawny
+muscular brawny
+giant gargantuan jumbo
+blizzard snowstorm
+tornado twister
+peak summit
+swamp marsh marshland swampland
+riverbank riverside
+fireman firefighter
+mailman postman
+hairdresser hairstylist stylist
+vet veterinarian
+professor prof
+astronaut spaceman cosmonaut
+bartender barman barkeep
+cashier teller
+reporter newsman
+writer author
+swimmer bather
+cyclist bicyclist
+wrestler grappler
+fisherman fisher
+hunter huntsman
+shepherd sheepherder
+cowboy cowhand cowpoke
+vendor seller
+customer client
+pirate buccaneer
+ghost specter spectre
+chuckle chortle
+giggle titter
+melt thaw
+scrub scour
+sew stitch
+bathe bath
 """
 
 
