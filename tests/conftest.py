@@ -52,6 +52,18 @@ def _cpu_fingerprint() -> str:
         keys = ("cpu family", "model", "stepping", "model name", "flags")
         ident = "".join(next((l for l in lines if l.startswith(k)), "")
                         for k in keys)
+        # ... and even THAT is not enough: observed 2026-08-21, two hosts
+        # with byte-identical virtualized cpuinfo (family 6 / model 207 /
+        # stepping 2 / microcode 0x1) produced AOT artifacts with
+        # conflicting LLVM preferences — the hypervisor passes through
+        # cpuid leaves /proc/cpuinfo does not summarize, and drift
+        # compounded over a 350-step training rehearsal broke its semantic
+        # assertions. No userspace-visible field discriminates such hosts,
+        # so the cache is additionally keyed PER BOOT: warm within a
+        # session (where the suite recompiles identical programs dozens of
+        # times — the dominant win), cold across host migrations.
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            ident += f.read()
         return hashlib.sha1(ident.encode()).hexdigest()[:10]
     except OSError:
         return "nohost"
