@@ -14,7 +14,7 @@ mini-Flickr30k fixture, whose captions name the colour of a drawn rectangle
   geometric bbox-concentration property is deliberately NOT asserted — see
   the second test's note and experiments/relevance_geometry_probe.py).
 
-One shared 350-step training run (~4 min CPU at 64px/hidden-48) feeds both.
+One shared 600-step training run (~10 min CPU at 64px/hidden-48) feeds both.
 """
 
 import numpy as np
@@ -34,9 +34,17 @@ from lrp_imagecaptioning_tpu.train.optimizer import make_optimizer
 from lrp_imagecaptioning_tpu.train.step import make_train_step
 
 T = 12
-# colour accuracy keeps improving after the loss plateaus (~step 120): at
-# step 200 only 2/8 images decode the right colour, at 300+ it is 6/8
-STEPS = 350
+# RECIPE NOTE (round 5): the original lr=3e-3/350-step recipe was
+# trajectory-chaotic across hosts — on the host it was calibrated on it
+# reached 6/8 colour captions, but a host with a different XLA:CPU
+# reduction order converged (deterministically, both at r04 and r05 HEAD)
+# to a colour-HEDGING minimum: teacher-forced loss collapsed to the same
+# 0.35 yet greedy decode emitted one modal caption for every image (2/8).
+# lr=1e-3 with 600 steps escapes that minimum (measured on the affected
+# host: 3/8 @350 -> 4/8 @500 -> 8/8 @600, loss 0.244 — every caption names
+# BOTH the correct colour and object), trading ~2x fixture runtime for a
+# recipe whose basin is robust to summation-order perturbations.
+STEPS = 600
 
 
 @pytest.fixture(scope="module")
@@ -46,7 +54,7 @@ def trained(tmp_path_factory):
     cfg = FlickrConfig(
         dataset_root=root, embedding_dim=32, hidden_dim=48, sentence_length=T,
         drop_rate=0.0, batch_size=8, rare_words_handling="nothing",
-        learning_rate=3e-3, image_size=(64, 64), img_feature_length=16,
+        learning_rate=1e-3, image_size=(64, 64), img_feature_length=16,
     )
     ds = Flickr30kDataset(cfg)
     prov = DatasetProvider(ds, cfg)
@@ -109,11 +117,11 @@ def _colour_hits(cfg, prov, cap, params, datums):
 def test_model_learns_to_caption_colours(trained):
     cfg, ds, prov, cap, params, datums, first, last = trained
 
-    # (a) the teacher-forced loss collapses (measured: 2.84 -> ~0.35 by 350)
+    # (a) the teacher-forced loss collapses (measured: 2.84 -> ~0.24 by 600)
     assert last < 0.25 * first, (first, last)
 
-    # (b) greedy captions name the drawn rectangle's colour on at least half
-    # of the 8 unique training images (measured: 6/8 at 350 steps; threshold
+    # (b) greedy captions name the drawn rectangle colour on at least half
+    # of the 8 unique training images (measured: 8/8 at 600 steps; threshold
     # leaves margin for cross-host reduction-order drift)
     hits = _colour_hits(cfg, prov, cap, params, datums)
     assert sum(hits) >= len(hits) // 2, list(zip([d.img_filename for d in datums], hits))
