@@ -269,7 +269,13 @@ def test_lrp_finetune_semantic_rehearsal(trained, tmp_path, monkeypatch):
         "--set", "drop_rate=0.0",
         "--weights", "trained.npz",
         "--chunks", "2", "--epoch-length", "3",
-        "--learning-rate", "2e-4",
+        # 2e-5, not the reference's 1e-6..2e-4 range midpoint: the round-5
+        # base recipe (lr 1e-3 / 600 steps) converges to a SHARPER CE
+        # optimum (loss 0.244 vs 0.354), and 6 finetune steps at 2e-4 were
+        # measured to overshoot the dual objective from it (dual loss
+        # 0.232 -> 0.310); first-order descent of the dual loss needs a
+        # step gentle enough for the sharper basin
+        "--learning-rate", "2e-5",
         "--max-explained-words", str(MAX_WORDS),
         "--out", "ft-out",
     ])
