@@ -18,11 +18,9 @@ measurable:
    tie-breaking choice can move scores on this corpus — an empirical scale
    for the alignment-ambiguity component of jar deviation.
 3. **stem_stage_contribution** — per-segment |score(exact+stem) -
-   score(exact-only)|. The jar's extra matcher stages enter the formula
-   exactly like the stem stage (more matched pairs); this measures the
-   score scale of one whole matcher stage on caption-like text, an
-   indicative bound for the remaining PARAPHRASE stage (which has no
-   offline data source).
+   score(exact-only)|: the score scale of one whole matcher stage on
+   caption-like text. Retained as the historical round-4 proxy; both
+   remaining jar stages are now implemented and measured directly (below).
 4. **synonym_stage_contribution** — MEASURED, not proxied (round 5): the
    fallback now runs a synonym stage over the vendored caption-domain
    synset table (evalx/synonyms.py). Reported per-segment
@@ -30,6 +28,12 @@ measurable:
    corpus (no deliberate synonym pairs — the stage must be inert) and (b)
    a synonym-substituted corpus where every tabled word is swapped for a
    group-mate (the stage's intended effect, including inflected forms).
+5. **paraphrase_stage_contribution** — MEASURED (round 5): the fallback
+   now also runs METEOR 1.5's fourth stage, a phrase-level matcher over
+   the vendored caption-domain paraphrase table (evalx/paraphrases.py).
+   Reported the same two ways — inertness on the base corpus and the
+   on/off delta (isolated against the stage-3 scorer) on a
+   phrase-substituted corpus including cross-length matches.
 
 Writes experiments/METEOR_FALLBACK_BOUND.json.
 Run: python experiments/meteor_fallback_bound.py
@@ -108,13 +112,13 @@ def _corpus():
 def _score(m: METEOR, hyp, refs, align=None):
     best = 0.0
     for ref in refs:
-        matches, chunks = (align or m._align)(hyp, ref)
-        if matches == 0:
+        m_h, m_r, chunks = (align or m._align)(hyp, ref)
+        if m_h == 0:
             continue
-        p = matches / len(hyp)
-        q = matches / len(ref)
+        p = m_h / len(hyp)
+        q = m_r / len(ref)
         fmean = p * q / (m.ALPHA * p + (1 - m.ALPHA) * q)
-        pen = m.GAMMA * ((chunks / matches) ** m.BETA_P)
+        pen = m.GAMMA * ((chunks / ((m_h + m_r) / 2)) ** m.BETA_P)
         best = max(best, fmean * (1 - pen))
     return best
 
@@ -142,7 +146,7 @@ def _forward_align(m: METEOR):
             if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
                 chunks += 1
             prev = (i, j)
-        return len(pairs), chunks
+        return len(pairs), len(pairs), chunks
 
     return align
 
@@ -185,18 +189,45 @@ def _syn_corpus():
     return cases
 
 
+# caption-domain phrase swaps drawn from the vendored paraphrase table
+# (evalx/paraphrases.py) — each pair differs only through one or two tabled
+# phrase substitutions, including cross-length ones (2-word ~ 1-word)
+_PARA_CASES = [
+    ("a man standing next to a car", "a man standing beside a car"),
+    ("a child eating a hot dog", "a child eating a hotdog"),
+    ("people waiting at the traffic light", "people waiting at the stoplight"),
+    ("a woman taking a picture of the sea", "a woman photographing the sea"),
+    ("kids riding a bike in the park", "kids cycling in the park"),
+    ("a bunch of people sit around a wooden table",
+     "a group of people sit around a wooden table"),
+    ("an elderly man sits on a bench", "an old man sits on a bench"),
+    ("cars parked in the car park", "cars parked in the parking lot"),
+    ("a dog in front of the house", "a dog ahead of the house"),
+    ("two boats close to the shore", "two boats near the shore"),
+]
+
+
+def _para_corpus():
+    return [(h.split(), [r.split()]) for h, r in _PARA_CASES]
+
+
 def main():
     from nltk.stem.porter import PorterStemmer
     from nltk.translate import meteor_score as ms
 
-    m = METEOR(synonyms=False)  # exact+stem core: the NLTK-pinned config
+    # exact+stem core: the NLTK-pinned config
+    m = METEOR(synonyms=False, paraphrases=False)
     m._jar = None
-    m_syn = METEOR()            # + vendored-table synonym stage (default)
+    # + vendored-table synonym stage (stage 3 isolated)
+    m_syn = METEOR(paraphrases=False)
     m_syn._jar = None
+    # full ladder: + vendored-table paraphrase stage (stage 4, the default)
+    m_para = METEOR()
+    m_para._jar = None
     stemmer = PorterStemmer()
     cases = _corpus()
 
-    nltk_dev, tie_dev, stem_dev, syn_dev_base = [], [], [], []
+    nltk_dev, tie_dev, stem_dev, syn_dev_base, para_dev_base = [], [], [], [], []
     for hyp, refs in cases:
         ours = _score(m, hyp, refs)
         want = ms.meteor_score(refs, hyp, stemmer=stemmer, wordnet=_NoWordnet)
@@ -204,10 +235,17 @@ def main():
         tie_dev.append(abs(ours - _score(m, hyp, refs, _forward_align(m))))
         stem_dev.append(abs(ours - _score(m, hyp, refs, _exact_only_align(m))))
         syn_dev_base.append(abs(_score(m_syn, hyp, refs) - ours))
+        para_dev_base.append(abs(_score(m_para, hyp, refs) - _score(m_syn, hyp, refs)))
 
     syn_dev = [
         abs(_score(m_syn, hyp, refs) - _score(m, hyp, refs))
         for hyp, refs in _syn_corpus()
+    ]
+    # paraphrase delta isolated against the stage-3 scorer so synonym-stage
+    # effects cancel and only the phrase matcher's contribution is measured
+    para_dev = [
+        abs(_score(m_para, hyp, refs) - _score(m_syn, hyp, refs))
+        for hyp, refs in _para_corpus()
     ]
 
     def stats(xs):
@@ -224,12 +262,17 @@ def main():
         "synonym_stage_inert_on_base_corpus": stats(syn_dev_base),
         "synonym_stage_contribution": stats(syn_dev),
         "n_synonym_segments": len(syn_dev),
+        "paraphrase_stage_inert_on_base_corpus": stats(para_dev_base),
+        "paraphrase_stage_contribution": stats(para_dev),
+        "n_paraphrase_segments": len(para_dev),
         "protocol": "perturbation corpus over 12 caption-like sentences x 10 "
                     "variants + 24 multi-ref pairs = 144 segments; "
                     "exact+stem core pinned vs NLTK with its synonym stage "
                     "stubbed off; synonym stage measured separately (on/off "
                     "delta) over the base corpus and a synonym-substituted "
-                    "corpus; alpha=0.9 beta=3 gamma=0.5",
+                    "corpus; paraphrase stage measured the same way against "
+                    "the stage-3 scorer over the base corpus and a "
+                    "phrase-substituted corpus; alpha=0.9 beta=3 gamma=0.5",
         "interpretation": {
             "nltk_max_abs_dev": "fallback == independent NLTK implementation "
                                 "(alignment + formula third-party verified)",
@@ -238,9 +281,10 @@ def main():
                                      "the scale of the jar's beam-search "
                                      "resolver deviating from any greedy",
             "stem_stage_contribution": "score scale of one whole matcher "
-                                       "stage; indicative bound for the "
-                                       "jar's remaining PARAPHRASE stage "
-                                       "(no offline data source)",
+                                       "stage (retained as the historical "
+                                       "round-4 proxy; both remaining jar "
+                                       "stages are now implemented and "
+                                       "measured directly below)",
             "synonym_stage_inert_on_base_corpus": "the synonym stage must "
                                                   "not move scores where no "
                                                   "synonym pairs exist",
@@ -249,6 +293,17 @@ def main():
                                           "bearing caption pairs (round 4 "
                                           "could only proxy this via the "
                                           "stem stage)",
+            "paraphrase_stage_inert_on_base_corpus": "the phrase matcher "
+                                                     "must not move scores "
+                                                     "where no tabled "
+                                                     "phrase pairs exist",
+            "paraphrase_stage_contribution": "MEASURED effect of the "
+                                             "vendored-table paraphrase "
+                                             "stage (stage 4, incl. "
+                                             "cross-length phrase matches) "
+                                             "on phrase-substituted caption "
+                                             "pairs, isolated against the "
+                                             "stage-3 scorer",
         },
     }
     print(json.dumps(out, indent=1))

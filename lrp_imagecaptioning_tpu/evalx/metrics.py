@@ -213,12 +213,20 @@ class METEOR:
     the aggregate.
 
     Python path: standard METEOR formula (alpha=0.9, beta=3.0, gamma=0.5)
-    with exact, Porter-stem, and synonym matchers. The jar's synonym stage
-    needs WordNet; the fallback runs it against the vendored caption-domain
-    synset table (``evalx/synonyms.py``, ~400 disjoint WordNet groups with
-    morphy-style inflection normalization). The paraphrase stage has no
-    offline data source and remains omitted. ``synonyms=False`` reproduces
-    the round-4 exact+stem configuration.
+    with exact, Porter-stem, synonym, and paraphrase matchers — METEOR
+    1.5's full stage ladder. The jar's synonym stage needs WordNet; the
+    fallback runs it against the vendored caption-domain synset table
+    (``evalx/synonyms.py``, ~400 disjoint WordNet groups with morphy-style
+    inflection normalization). The jar's paraphrase stage needs
+    paraphrase-en.gz (~50 MB, no offline source here); the fallback runs a
+    phrase-level stage 4 against the vendored caption-domain paraphrase
+    table (``evalx/paraphrases.py``) — contiguous all-unmatched spans on
+    both sides align when they sit in one phrase group, covering each
+    side's span words (so precision and recall see different match counts
+    when span lengths differ, as in the jar's phrase matching).
+    ``synonyms=False`` / ``paraphrases=False`` reproduce the earlier-round
+    configurations; with both stages inert the scores are bit-identical to
+    the NLTK-pinned exact+stem core.
 
     Fallback fidelity (measured, experiments/METEOR_FALLBACK_BOUND.json):
     per-segment scores of the exact+stem core are differential-pinned to
@@ -234,7 +242,8 @@ class METEOR:
 
     ALPHA, BETA_P, GAMMA = 0.9, 3.0, 0.5
 
-    def __init__(self, jar: str | None = None, synonyms: bool = True):
+    def __init__(self, jar: str | None = None, synonyms: bool = True,
+                 paraphrases: bool = True):
         self._jar = jar if jar is not None else _find_jar("LRPIC_METEOR_JAR", "meteor-1.5.jar")
         if self._jar is not None:
             data = os.path.join(os.path.dirname(self._jar), "data", "paraphrase-en.gz")
@@ -252,6 +261,12 @@ class METEOR:
             self._syn = _syn_lookup
         else:
             self._syn = None
+        if paraphrases:
+            from . import paraphrases as _para
+
+            self._para = _para
+        else:
+            self._para = None
 
     # --- jar path (pycocoevalcap meteor.py protocol) ---
 
@@ -285,7 +300,12 @@ class METEOR:
     # --- python path ---
 
     def _align(self, hyp, ref):
-        """Greedy stage-wise alignment; returns (matches, chunks).
+        """Greedy stage-wise alignment; returns (m_h, m_r, chunks) — the
+        hypothesis-side and reference-side matched-word counts and the
+        chunk count. Word-level matches contribute 1 to both sides; a
+        phrase match (stage 4) contributes its span length on each side, so
+        m_h != m_r exactly when a cross-length paraphrase fired (the jar's
+        phrase matcher counts the same way).
 
         Tie-breaking for duplicate words follows NLTK's meteor_score
         (_match_enums: both lists walked in REVERSE, highest-index ref slot
@@ -316,19 +336,91 @@ class METEOR:
                         match_of[i] = j
                         used_ref[j] = True
                         break
-        pairs = [(i, j) for i, j in enumerate(match_of) if j >= 0]
-        matches = len(pairs)
+        # match blocks: (hyp_start, hyp_len, ref_start, ref_len). Word
+        # matches are (i, 1, j, 1); phrase matches cover whole spans. The
+        # phrase pass may RELEASE word matches internal to a winning phrase
+        # pair (marking them -2), so word blocks are collected after it.
+        blocks = []
+        if self._para is not None:
+            blocks += self._align_phrases(hyp, ref, match_of, used_ref)
+        blocks += [(i, 1, j, 1) for i, j in enumerate(match_of) if j >= 0]
+        blocks.sort()
+        m_h = sum(b[1] for b in blocks)
+        m_r = sum(b[3] for b in blocks)
         # a METEOR chunk is a maximal run of matches adjacent in BOTH the
         # hypothesis and the reference (Banerjee & Lavie 2005 §2.1; NLTK
         # meteor_score counts identically) — a skipped hyp word breaks the
-        # chunk even when the ref indices stay consecutive
+        # chunk even when the ref indices stay consecutive. A phrase block
+        # is internally contiguous on both sides, so it extends a chunk
+        # exactly when its span starts adjoin the previous block's span ends.
         chunks = 0
         prev = None
-        for i, j in pairs:
-            if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+        for hi, hl, rj, rl in blocks:
+            if prev is None or hi != prev[0] or rj != prev[1]:
                 chunks += 1
-            prev = (i, j)
-        return matches, chunks
+            prev = (hi + hl, rj + rl)
+        return m_h, m_r, chunks
+
+    def _align_phrases(self, hyp, ref, match_of, used_ref):
+        """Stage 4 (paraphrase): greedily align contiguous hypothesis spans
+        against contiguous reference spans when both sit in one vendored
+        phrase group (``evalx.paraphrases``).
+
+        The jar resolves ALL stages jointly (a beam search maximizing
+        matched words, then minimizing chunks), so a phrase pair can win
+        over word matches internal to it — "in front of" ~ "ahead of" fires
+        even though "of" word-matches first. The sequential ladder mirrors
+        that locally: a candidate span pair is admissible when every
+        already-matched word inside either span is matched INTO the other
+        span (no external alignment is disturbed), and it fires only when
+        it covers strictly more words than the internal word matches it
+        releases (the jar's max-matches criterion; on a tie the word
+        alignment stands, so identical spans never re-fire). Longest
+        hypothesis span first, left-to-right — residual resolution
+        ambiguity vs the jar's beam is the same order-based kind covered by
+        the recorded tie-break-sensitivity band. Claimed words are marked
+        in ``match_of`` (-2) / ``used_ref``; returns the phrase blocks."""
+        max_len = self._para.MAX_PHRASE_LEN
+        lookup = self._para.lookup_phrase
+        blocks = []
+        for hl in range(min(max_len, len(hyp)), 0, -1):
+            for hi in range(0, len(hyp) - hl + 1):
+                hspan = range(hi, hi + hl)
+                if any(match_of[i] == -2 for i in hspan):
+                    continue  # already claimed by a longer phrase
+                canon = lookup(hyp[hi:hi + hl])
+                if canon is None:
+                    continue
+                hit = None
+                for rl in range(min(max_len, len(ref)), 0, -1):
+                    for rj in range(0, len(ref) - rl + 1):
+                        rspan = range(rj, rj + rl)
+                        if lookup(ref[rj:rj + rl]) != canon:
+                            continue
+                        # hyp-side internal matches must land inside rspan
+                        internal = [i for i in hspan if match_of[i] >= 0]
+                        if any(match_of[i] not in rspan for i in internal):
+                            continue
+                        # ref-side used words must be used FROM hspan
+                        targets = {match_of[i] for i in internal}
+                        if any(used_ref[j] and j not in targets for j in rspan):
+                            continue
+                        # max-matches: strict word-coverage gain required
+                        if hl + rl <= 2 * len(internal):
+                            continue
+                        hit = (rj, rl)
+                        break
+                    if hit is not None:
+                        break
+                if hit is None:
+                    continue
+                rj, rl = hit
+                for i in hspan:
+                    match_of[i] = -2  # phrase-claimed: excluded from word blocks
+                for j in range(rj, rj + rl):
+                    used_ref[j] = True
+                blocks.append((hi, hl, rj, rl))
+        return blocks
 
     def calculate(self, id_to_prediction, id_to_references):
         if self._jar is not None:
@@ -341,13 +433,16 @@ class METEOR:
         for hyp, refset in zip(hyps, refs):
             best = 0.0
             for r in refset:
-                matches, chunks = self._align(hyp, r)
-                if matches == 0:
+                m_h, m_r, chunks = self._align(hyp, r)
+                if m_h == 0:
                     continue
-                p = matches / len(hyp)
-                q = matches / len(r)
+                p = m_h / len(hyp)
+                q = m_r / len(r)
                 fmean = p * q / (self.ALPHA * p + (1 - self.ALPHA) * q)
-                frag = chunks / matches
+                # frag denominator: the mean matched-word count. Reduces to
+                # the classic chunks/matches whenever no cross-length
+                # phrase fired (then m_h == m_r), preserving the NLTK pin.
+                frag = chunks / ((m_h + m_r) / 2)
                 pen = self.GAMMA * (frag ** self.BETA_P)
                 best = max(best, fmean * (1 - pen))
             scores.append(best)

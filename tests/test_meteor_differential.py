@@ -47,13 +47,13 @@ def _ours(hyp_words, refsets_words):
     m._jar = None  # force the Python path regardless of env
     best = 0.0
     for ref in refsets_words:
-        matches, chunks = m._align(hyp_words, ref)
-        if matches == 0:
+        m_h, m_r, chunks = m._align(hyp_words, ref)
+        if m_h == 0:
             continue
-        p_ = matches / len(hyp_words)
-        q_ = matches / len(ref)
+        p_ = m_h / len(hyp_words)
+        q_ = m_r / len(ref)
         fmean = p_ * q_ / (m.ALPHA * p_ + (1 - m.ALPHA) * q_)
-        pen = m.GAMMA * ((chunks / matches) ** m.BETA_P)
+        pen = m.GAMMA * ((chunks / ((m_h + m_r) / 2)) ** m.BETA_P)
         best = max(best, fmean * (1 - pen))
     return best
 
@@ -203,10 +203,84 @@ def test_meteor_synonyms_off_reproduces_exact_stem():
     m_off = METEOR(synonyms=False)
     m_off._jar = None
     hyp, ref = "a kid on a bike".split(), "a child on a bicycle".split()
-    matches, chunks = m_off._align(hyp, ref)
+    matches, _, chunks = m_off._align(hyp, ref)
     assert matches == 3  # only the exact a/on/a survive without the stage
-    on_matches, _ = METEOR()._align(hyp, ref)
+    on_matches, _, _ = METEOR()._align(hyp, ref)
     assert on_matches == 5
+
+
+# ---------------------------------------------------------------------------
+# 1c. Paraphrase stage (stage 4, phrase-level — the jar's paraphrase-en.gz
+#     matcher over the vendored caption-domain table)
+# ---------------------------------------------------------------------------
+
+
+def test_meteor_paraphrase_stage_never_refires_on_word_matched_spans():
+    # stage 4 only sees ALL-unmatched spans: a table phrase whose words all
+    # word-matched (identical sentences) must not be double-counted
+    m_h, m_r, chunks = METEOR()._align(
+        "a trash can on the street".split(), "a trash can on the street".split())
+    assert (m_h, m_r, chunks) == (6, 6, 1)
+
+
+def test_meteor_paraphrase_stage_cross_length():
+    # 'a man standing next to a car' vs 'a man standing beside a car':
+    # exact matches a/man/standing/a/car; 'next to' (2 words, unmatched)
+    # ~ 'beside' (1 word) sit in one vendored group -> phrase block (2,1).
+    hyp = "a man standing next to a car".split()
+    ref = "a man standing beside a car".split()
+    m_h, m_r, chunks = METEOR()._align(hyp, ref)
+    assert (m_h, m_r) == (7, 6)  # all 7 hyp words covered, all 6 ref words
+    assert chunks == 1  # the phrase block adjoins the exact runs on both sides
+    # and the score is the full-coverage score: P=1, R=1 -> fmean=1
+    got = _ours(hyp, [ref])
+    frag = 1 / ((7 + 6) / 2)
+    assert got == pytest.approx(1 - 0.5 * frag ** 3, abs=1e-12)
+
+
+def test_meteor_paraphrase_stage_inert_without_table_pair():
+    # no phrase pair -> scores bit-identical with the stage off
+    hyp = "a man rides a horse across the field".split()
+    ref = "a man is riding a brown horse".split()
+    m_on = METEOR()
+    m_on._jar = None
+    m_off = METEOR(paraphrases=False)
+    m_off._jar = None
+    assert m_on._align(hyp, ref) == m_off._align(hyp, ref)
+
+
+def test_meteor_paraphrases_off_reproduces_stage3():
+    hyp = "a man standing next to a car".split()
+    ref = "a man standing beside a car".split()
+    m_off = METEOR(paraphrases=False)
+    m_off._jar = None
+    m_h, m_r, _ = m_off._align(hyp, ref)
+    assert (m_h, m_r) == (5, 5)  # next/to/beside stay unmatched
+
+
+def test_meteor_paraphrase_table_invariants():
+    """Structural invariants mirroring the synset-table tests: every phrase
+    in exactly one group, at least one multi-word member per group, no
+    function-word-only phrases."""
+    from lrp_imagecaptioning_tpu.evalx import paraphrases as P
+
+    seen = {}
+    func = {"a", "an", "the", "of", "to", "on", "in", "at", "with", "and"}
+    for g in P.PHRASE_GROUPS:
+        assert len(g) >= 2
+        assert any(len(p) > 1 for p in g), g
+        for p in g:
+            assert p not in seen, f"phrase {p} in two groups"
+            seen[p] = True
+            assert not all(w in func for w in p), p
+    assert P.n_groups() >= 60
+    assert P.MAX_PHRASE_LEN <= 5
+    # lookup round-trips to the canonical representative
+    assert P.lookup_phrase(("next", "to")) == P.lookup_phrase(("beside",))
+    assert P.lookup_phrase(("next", "to")) is not None
+    assert P.lookup_phrase(("purple", "giraffe")) is None
+    assert P.are_paraphrases(("hot", "dog"), ("hotdog",))
+    assert not P.are_paraphrases(("hot", "dog"), ("ice", "cream"))
 
 
 @pytest.mark.parametrize(
@@ -233,8 +307,9 @@ def test_meteor_synonyms_off_reproduces_exact_stem():
 )
 def test_meteor_alignment_hand_cases(hyp, ref, want_matches, want_chunks):
     m = METEOR()
-    matches, chunks = m._align(hyp.split(), ref.split())
-    assert (matches, chunks) == (want_matches, want_chunks)
+    m_h, m_r, chunks = m._align(hyp.split(), ref.split())
+    assert (m_h, chunks) == (want_matches, want_chunks)
+    assert m_h == m_r  # no cross-length phrase fires on these cases
 
 
 # ---------------------------------------------------------------------------
